@@ -160,10 +160,26 @@ class BaseRetriever(Recommender):
             feat = {f: arr[1:] for f, arr in self._item_feat_arrays.items()}
         return self._apply(params, "encode_item", feat)
 
+    def _train_needs_item_vector(self) -> bool:
+        """Whether the training path reads the cached item-vector states:
+        full-score losses, and sampling methods that mine over the catalog."""
+        if self.sampler is None and isinstance(self.loss_fn, FullScoreLoss):
+            return True
+        return self.config["train"].get("sampling_method", "none") != "none"
+
+    def _sampler_is_stateful(self) -> bool:
+        return isinstance(self.sampler, Sampler) and \
+            type(self.sampler).update is not Sampler.update
+
     def _epoch_refresh(self, nepoch: int):
+        # eval steps encode the catalog inside their own jit; during training
+        # only refresh what the train step actually consumes (mirrors the
+        # reference's per-epoch _update_item_vector + sampler.update).
+        if nepoch >= 0 and not (self._train_needs_item_vector() or self._sampler_is_stateful()):
+            return
         item_vector = jax.jit(self._compute_item_vector)(self.params)
         self.states["item_vector"] = item_vector
-        if isinstance(self.sampler, Sampler):
+        if self._sampler_is_stateful():
             sampler_state = self.sampler.update(self.next_rng(), item_vector)
             if sampler_state != ():
                 self.states["sampler"] = sampler_state
@@ -336,8 +352,11 @@ class BaseRetriever(Recommender):
     def topk(self, params, batch, k: int, user_hist=None, states=None,
              return_query: bool = False):
         states = states if states is not None else self.states
+        item_vector = states.get("item_vector")
+        if item_vector is None:
+            item_vector = self._compute_item_vector(params)  # fused into caller's jit
         query = self._apply(params, "encode_query", self._get_query_feat(batch))
-        scores = self._apply(params, "score", query, states["item_vector"])
+        scores = self._apply(params, "score", query, item_vector)
         score_k, topk_items = self._topk_from_scores(scores, k, user_hist)
         if return_query:
             return score_k, topk_items, query

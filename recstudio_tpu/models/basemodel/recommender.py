@@ -191,22 +191,71 @@ class Recommender:
         """Rebuild per-epoch states (item vectors / sampler indices)."""
         pass
 
-    def _make_train_step(self, optimizer):
-        def loss_fn(params, batch, rng, states):
-            out = self.training_step(params, batch, rng, states)
-            if isinstance(out, dict):
-                return out["loss"], out
-            return out, {"loss": out}
+    def _loss_and_aux(self, params, batch, rng, states):
+        out = self.training_step(params, batch, rng, states)
+        if isinstance(out, dict):
+            return out["loss"], out
+        return out, {"loss": out}
 
+    def _grad_step(self, optimizer, params, opt_state, batch, rng, states):
+        (loss, logs), grads = jax.value_and_grad(self._loss_and_aux, has_aux=True)(
+            params, batch, rng, states)
+        grads = zero_pad_rows_in_grads(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def _make_train_step(self, optimizer):
         @jax.jit
         def step(params, opt_state, batch, rng, states):
-            (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batch, rng, states)
-            grads = zero_pad_rows_in_grads(grads)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+            return self._grad_step(optimizer, params, opt_state, batch, rng, states)
         return step
+
+    # ------------------------------------------------------------------
+    # whole-epoch on-device training (lax.scan) — the TPU-native hot path.
+    # One device dispatch per epoch instead of one per batch; essential when
+    # the chip sits behind a high-latency link and the per-step compute is
+    # tiny (recsys embedding models).
+    # ------------------------------------------------------------------
+    def _supports_scan_epoch(self, train_data) -> bool:
+        flag = str(self.config["train"].get("epoch_scan", "auto")).lower()
+        if flag == "false":
+            return False
+        if len(self.optimizers) != 1 or len(self.trainloaders) != 1:
+            return False
+        if getattr(train_data, "neg_count", None):
+            return False  # dataset-side negatives still go through the host path
+        return True
+
+    def _setup_scan_epoch(self, train_data, optimizer):
+        n = len(train_data.data_index)
+        bs = int(self.config["train"]["batch_size"])
+        nbatch = -(-n // bs)
+        arrays = train_data._get_pos_batch(np.arange(n))
+        arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+        shuffle = bool(self.config["data"].get("shuffle", True))
+
+        def epoch_fn(params, opt_state, rng, data, states):
+            perm = jax.random.permutation(rng, n) if shuffle else jnp.arange(n)
+            pad = nbatch * bs - n
+            if pad:
+                perm = jnp.concatenate([perm, perm[:pad]])
+            chunks = perm.reshape(nbatch, bs)
+
+            def body(carry, sel):
+                params, opt_state, i = carry
+                batch = {k: v[sel] for k, v in data.items()}
+                step_rng = jax.random.fold_in(rng, i)
+                params, opt_state, loss = self._grad_step(
+                    optimizer, params, opt_state, batch, step_rng, states)
+                return (params, opt_state, i + 1), loss
+
+            (params, opt_state, _), losses = jax.lax.scan(
+                body, (params, opt_state, 0), chunks)
+            return params, opt_state, losses.mean()
+
+        self._scan_arrays = arrays
+        self._scan_epoch_fn = jax.jit(epoch_fn, donate_argnums=(0, 1))
 
     # ------------------------------------------------------------------
     # fit / evaluate
@@ -245,6 +294,10 @@ class Recommender:
                            for o in self.optimizers]
         self._train_steps = [self._make_train_step(o["optimizer"]) if o.get("optimizer") else None
                              for o in self.optimizers]
+        self._scan_epoch_fn = None
+        if self.optimizers and self.optimizers[0].get("optimizer") is not None \
+                and self._supports_scan_epoch(train_data):
+            self._setup_scan_epoch(train_data, self.optimizers[0]["optimizer"])
         self.logger.info(f"{type(self).__name__} config:\n"
                          + color_dict_normal(self.config))
         self.fit_loop(val_data)
@@ -297,6 +350,11 @@ class Recommender:
         self.logger.info(f"best checkpoint saved at {self.ckpt_path}")
 
     def training_epoch(self, nepoch: int) -> float:
+        if getattr(self, "_scan_epoch_fn", None) is not None:
+            self.params, self.opt_states[0], loss = self._scan_epoch_fn(
+                self.params, self.opt_states[0], self.next_rng(),
+                self._scan_arrays, self.states)
+            return float(loss)
         loaders, combine = self.current_epoch_trainloaders(nepoch)
         if not isinstance(loaders, list):
             loaders = [loaders]
@@ -340,23 +398,43 @@ class Recommender:
         return out
 
     def _eval_epoch(self, data, metric_names, cutoffs) -> Dict[str, float]:
-        loader = data.eval_loader(batch_size=self.config["eval"]["batch_size"])
-        step = self._make_eval_step(metric_names, tuple(cutoffs))
-        sums: Dict[str, float] = {}
-        weight = 0.0
-        extra_global: List = []
-        for batch in loader:
-            batch = batch_to_device(batch)
-            per_sample, bs, glob = step(self.params, batch, self.states)
-            bs = float(bs)
-            for k, v in per_sample.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            weight += bs
-            if glob is not None:
-                extra_global.append(jax.device_get(glob))
-        out = {k: v / max(weight, 1.0) for k, v in sums.items()}
-        out.update(self._global_metrics(metric_names, extra_global))
+        """Evaluate a split in ONE device dispatch: eval batches are stacked
+        once ([nbatch, B, ...]) and scanned on device; only the final metric
+        sums come back to the host."""
+        key = (id(data), tuple(metric_names), tuple(cutoffs))
+        if not hasattr(self, "_eval_cache"):
+            self._eval_cache = {}
+        if key not in self._eval_cache:
+            loader = data.eval_loader(batch_size=self.config["eval"]["batch_size"])
+            batches = list(loader)
+            stacked = {k: jnp.asarray(np.stack([b[k] for b in batches]))
+                       for k in batches[0]}
+            step = self._make_eval_step(metric_names, tuple(cutoffs))
+
+            def scan_eval(params, stacked, states):
+                def body(carry, batch):
+                    sums, weight = carry
+                    per_sums, bs, _ = step(params, batch, states)
+                    new_sums = {k: sums[k] + per_sums[k] for k in per_sums}
+                    return (new_sums, weight + bs), None
+
+                b0 = {k: v[0] for k, v in stacked.items()}
+                init_sums, _, _ = step(params, b0, states)
+                init = ({k: jnp.zeros_like(v) for k, v in init_sums.items()},
+                        jnp.zeros((), jnp.float32))
+                (sums, weight), _ = jax.lax.scan(body, init, stacked)
+                return sums, weight
+
+            self._eval_cache[key] = (stacked, jax.jit(scan_eval), batches)
+        stacked, scan_eval, batches = self._eval_cache[key]
+        sums, weight = scan_eval(self.params, stacked, self.states)
+        weight = float(weight)
+        out = {k: float(v) / max(weight, 1.0) for k, v in sums.items()}
+        out.update(self._collect_global_metrics(metric_names, batches))
         return out
+
+    def _collect_global_metrics(self, metric_names, batches) -> Dict[str, float]:
+        return {}
 
     def _global_metrics(self, metric_names, gathered) -> Dict[str, float]:
         return {}
@@ -375,11 +453,16 @@ class Recommender:
             + f" | train {train_time:.2f}s eval {eval_time:.2f}s")
 
     def snapshot(self):
-        return (jax.tree_util.tree_map(lambda x: x, self.params),
-                copy.copy(self.states))
+        # deep-copy device buffers: epoch functions donate params/opt_state,
+        # so aliased snapshots would be invalidated next epoch
+        cp = lambda t: jax.tree_util.tree_map(
+            lambda x: x.copy() if hasattr(x, "copy") else x, t)
+        return cp(self.params), cp(self.states)
 
     def restore(self, snap):
-        self.params, self.states = snap
+        cp = lambda t: jax.tree_util.tree_map(
+            lambda x: x.copy() if hasattr(x, "copy") else x, t)
+        self.params, self.states = cp(snap[0]), cp(snap[1])
 
     def save_checkpoint(self, path: str, epoch: int = -1, metric: Dict = None):
         from flax.serialization import to_bytes
