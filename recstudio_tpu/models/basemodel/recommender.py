@@ -288,8 +288,11 @@ class Recommender:
         self.callback = self._get_callback(train_data.name)
 
         self.trainloaders = self._get_train_loaders(train_data)
-        self._steps_per_epoch = max(len(self.trainloaders[0]), 1)
-        self.optimizers = self._get_optimizers()
+        try:
+            self._steps_per_epoch = max(len(self.trainloaders[0]), 1)
+        except (TypeError, KeyError):
+            self._steps_per_epoch = 1
+        self.optimizers = self._get_optimizers() or []
         self.opt_states = [o["optimizer"].init(self.params) if o.get("optimizer") else None
                            for o in self.optimizers]
         self._train_steps = [self._make_train_step(o["optimizer"]) if o.get("optimizer") else None
