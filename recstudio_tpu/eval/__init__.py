@@ -93,33 +93,32 @@ def accuracy(pred: jax.Array, target: jax.Array, thres: float = 0.5) -> jax.Arra
 
 
 def auc(pred: jax.Array, target: jax.Array, weight: jax.Array | None = None) -> jax.Array:
-    """Global AUC via the rank-sum (Mann-Whitney U) statistic.
+    """Global AUC (Mann-Whitney), tie-aware, with optional sample weights.
 
-    Exact for distinct scores; ties handled with midranks, matching
-    torchmetrics.AUROC on typical CTR outputs.
+    AUC = P(score_pos > score_neg) + 0.5 * P(score_pos == score_neg),
+    computed in O(n log n) via sorted cumulative negative mass per tie group.
+    ``weight`` lets padded rows (weight 0) be excluded exactly.
     """
     n = pred.shape[0]
     if weight is None:
-        weight = jnp.ones_like(pred)
+        weight = jnp.ones_like(pred, dtype=jnp.float32)
     order = jnp.argsort(pred)
-    sorted_pred = pred[order]
-    sorted_tgt = (target[order] > 0).astype(jnp.float32) * weight[order]
-    sorted_w = weight[order]
-    ranks = jnp.arange(1, n + 1, dtype=jnp.float32)
-    # midranks for ties
-    def midrank(sp, r):
-        # average rank over equal-score groups
-        is_new = jnp.concatenate([jnp.array([True]), sp[1:] != sp[:-1]])
-        gid = jnp.cumsum(is_new) - 1
-        gsum = jax.ops.segment_sum(r, gid, num_segments=n)
-        gcnt = jax.ops.segment_sum(jnp.ones_like(r), gid, num_segments=n)
-        return (gsum / jnp.maximum(gcnt, 1))[gid]
-    r = midrank(sorted_pred, ranks)
-    n_pos = sorted_tgt.sum()
-    n_neg = sorted_w.sum() - n_pos
-    rank_sum_pos = (r * sorted_tgt).sum()
-    u = rank_sum_pos - n_pos * (n_pos + 1) / 2.0
-    return jnp.where((n_pos > 0) & (n_neg > 0), u / jnp.maximum(n_pos * n_neg, 1.0), 0.0)
+    p = pred[order]
+    t = (target[order] > 0).astype(jnp.float32)
+    w = weight[order].astype(jnp.float32)
+    pos_w = w * t
+    neg_w = w * (1.0 - t)
+    is_new = jnp.concatenate([jnp.array([True]), p[1:] != p[:-1]])
+    gid = jnp.cumsum(is_new) - 1
+    cum_neg = jnp.cumsum(neg_w)
+    group_neg = jax.ops.segment_sum(neg_w, gid, num_segments=n)
+    group_cum_end = jax.ops.segment_max(cum_neg, gid, num_segments=n)
+    neg_before = group_cum_end - group_neg
+    contrib = pos_w * (neg_before[gid] + 0.5 * group_neg[gid])
+    n_pos = pos_w.sum()
+    n_neg = neg_w.sum()
+    return jnp.where((n_pos > 0) & (n_neg > 0),
+                     contrib.sum() / jnp.maximum(n_pos * n_neg, 1.0), 0.0)
 
 
 metric_dict = {

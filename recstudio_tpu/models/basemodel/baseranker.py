@@ -1,0 +1,143 @@
+"""BaseRanker: CTR / feature-interaction models.
+
+Functional re-design of the reference (recstudio/model/basemodel/
+baseranker.py:9-271). Rankers score one (user, item, context) interaction
+pointwise; negatives come from the dataset (true negatives via binarized
+ratings, or dataset-side uniform sampling), and evaluation is per-interaction
+(``fmeval``): per-sample logloss/mse/mae/accuracy plus globally-gathered AUC
+(reference :179-182,231-245 — here the epoch's scores/labels stay on device
+and AUC is one weighted Mann-Whitney kernel).
+
+Each concrete model supplies a flax score net via ``_get_score_net`` whose
+``__call__(batch, training)`` returns logits ``[B]``; with a cascaded
+retriever, ``topk`` reranks the retriever's candidates (two-stage, :141-154).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ... import eval as eval_mod
+from ..loss_func import BCEWithLogitLoss
+from .recommender import Recommender, batch_to_device
+
+
+class BaseRanker(Recommender):
+
+    def _set_data_field(self, data):
+        # all declared fields participate as features (reference baseranker.py:52-60)
+        data.use_field = set(data.field2type.keys())
+
+    def _get_retriever(self, train_data):
+        return None
+
+    def _init_model(self, train_data, drop_unused_field: bool = True):
+        super()._init_model(train_data, drop_unused_field)
+        self.rating_threshold = train_data.config.get("binarized_rating_thres")
+        if self.retriever is None:
+            self.retriever = self._get_retriever(train_data)
+        if self.retriever is None:
+            self.logger.info("no retriever attached: topk metrics unsupported, "
+                             "using pointwise evaluation")
+        self.net = self._get_score_net(train_data)
+
+    # -- hooks ------------------------------------------------------------
+    def _get_score_net(self, train_data):
+        raise NotImplementedError
+
+    def _get_loss_func(self):
+        return BCEWithLogitLoss()
+
+    # -- pure functions ----------------------------------------------------
+    def _init_variables(self, batch):
+        return self.net.init({"params": self.next_rng(), "dropout": self.next_rng()},
+                             batch, training=False)
+
+    def score(self, params, batch, training: bool = False, rng=None):
+        rngs = {"dropout": rng} if (rng is not None and training) else None
+        return self.net.apply({"params": params}, batch, training=training, rngs=rngs)
+
+    def forward(self, params, batch, rng, states, training: bool = True):
+        scores = self.score(params, batch, training=training, rng=rng)
+        return {"pos_score": scores, "label": batch[self.frating]}
+
+    def training_step(self, params, batch, rng, states):
+        out = self.forward(params, batch, rng, states)
+        return self.loss_fn(out["label"], out["pos_score"])
+
+    # -- evaluation ---------------------------------------------------------
+    def _make_eval_step(self, metric_names, cutoffs):
+        pred_m = eval_mod.get_pred_metrics(metric_names)
+        global_names = {m for m, _ in eval_mod.get_global_metrics(metric_names)}
+        thres = self.config["eval"].get("binarized_prob_thres", 0.5)
+
+        @jax.jit
+        def step(params, batch, states):
+            bs = batch["_size"]
+            B = batch[self.frating].shape[0]
+            valid = (jnp.arange(B) < bs).astype(jnp.float32)
+            scores = self.score(params, batch, training=False)
+            label = batch[self.frating]
+            out = {}
+            for name, fn in pred_m:
+                if name in global_names:
+                    continue
+                if name == "logloss":
+                    per = fn(scores, label)
+                elif name == "accuracy":
+                    per = fn(jax.nn.sigmoid(scores), label, thres)
+                elif name in ("mse", "mae"):
+                    per = fn(jax.nn.sigmoid(scores), label)
+                else:  # binary precision/recall/f1 over predictions: later round
+                    continue
+                out[name] = (per * valid).sum()
+            glob = {"score": scores, "label": label, "weight": valid} \
+                if global_names else None
+            return out, bs.astype(jnp.float32), glob
+        return step
+
+    def _global_metrics(self, metric_names, globs) -> Dict[str, float]:
+        global_m = eval_mod.get_global_metrics(metric_names)
+        if not global_m or globs is None:
+            return {}
+        scores = globs["score"].reshape(-1)
+        labels = globs["label"].reshape(-1)
+        weights = globs["weight"].reshape(-1)
+        return {name: float(fn(scores, labels, weights)) for name, fn in global_m}
+
+    # -- two-stage retrieval (rerank the retriever's candidates) -----------
+    def topk(self, params, batch, k: int, user_hist=None, states=None):
+        if self.retriever is None:
+            raise NotImplementedError("topk requires a cascaded retriever")
+        retr_k = self.retriever.config["eval"]["topk"]
+        assert k <= retr_k
+        score_re, topk_items = self.retriever.topk(
+            self.retriever.params, batch, retr_k, user_hist,
+            states=self.retriever.states)
+        multi = self._multi_item_batch(batch, topk_items)
+        scores = self.score(params, multi).reshape(topk_items.shape[0], -1)
+        top_scores, idx = jax.lax.top_k(scores, k)
+        return top_scores, jnp.take_along_axis(topk_items, idx, axis=-1)
+
+    def _multi_item_batch(self, batch, item_ids):
+        num_item = item_ids.shape[-1]
+        flat_ids = item_ids.reshape(-1)
+        out = {}
+        item_field_values = {self.fiid: flat_ids}
+        if self.item_feat is not None:
+            for f in self.item_feat.fields:
+                if f in self.fields and f != self.fiid:
+                    out_f = jnp.asarray(self.item_feat.get_col(f))[flat_ids]
+                    item_field_values[f] = out_f
+        for k, v in batch.items():
+            if k in item_field_values:
+                out[k] = item_field_values[k]
+            elif hasattr(v, "ndim") and v.ndim >= 1:
+                out[k] = jnp.repeat(v, num_item, axis=0) if v.shape[0] == item_ids.shape[0] \
+                    else v
+            else:
+                out[k] = v
+        return out

@@ -55,6 +55,29 @@ class TwoTowerNet(nn.Module):
         return self.score(q, v)
 
 
+class SharedItemTowerNet(nn.Module):
+    """Two-tower net where the query encoder OWNS the item embedding table
+    (sequence models: the same table embeds history items and scores targets,
+    reference seq/sasrec.py:70-123). ``encode_item`` routes through the query
+    encoder's ``item_encoder`` submodule so the parameters are truly shared."""
+    query_encoder: Any
+    score_func: Any
+
+    def encode_query(self, query_feat, training: bool = False):
+        return self.query_encoder(query_feat, training=training)
+
+    def encode_item(self, item_feat, training: bool = False):
+        return self.query_encoder.item_encoder(item_feat, training=training)
+
+    def score(self, query, items):
+        return self.score_func(query, items)
+
+    def __call__(self, query_feat, item_feat, training: bool = False):
+        q = self.encode_query(query_feat, training=training)
+        v = self.encode_item(item_feat, training=training)
+        return self.score(q, v)
+
+
 class BaseRetriever(Recommender):
     def __init__(self, config: Dict = None, **kwargs):
         super().__init__(config, **kwargs)
@@ -96,15 +119,22 @@ class BaseRetriever(Recommender):
             self.score_func = self._get_score_func()
         if self.sampler is None:
             self.sampler = self._get_sampler(train_data)
-        self.net = TwoTowerNet(self.item_encoder, self.query_encoder, self.score_func)
+        if getattr(self.query_encoder, "item_encoder", None) is self.item_encoder \
+                and self.item_encoder is not None:
+            self.net = SharedItemTowerNet(self.query_encoder, self.score_func)
+        else:
+            self.net = TwoTowerNet(self.item_encoder, self.query_encoder, self.score_func)
         # query-side fields: user feats + in_-prefixed item fields (+ seqlen)
+        # (reference baseretriever.py:56-60)
+        from ...data.dataset import SeqDataset, UserDataset
         if train_data.user_feat is not None:
             self.query_fields = set(train_data.user_feat.fields).intersection(self.fields)
         else:
             self.query_fields = {self.fuid} & self.fields
-        self.query_fields |= {f for f in self.fields if isinstance(f, str) and f.startswith("in_")}
-        if "in_" + self.fiid in self.query_fields:
-            self.query_fields.add("seqlen")
+        if isinstance(train_data, (SeqDataset, UserDataset)):
+            self.query_fields |= {"in_" + f for f in self.item_fields}
+            if isinstance(train_data, SeqDataset):
+                self.query_fields.add("seqlen")
         # device-resident item feature table for multi-field item encoders
         if len(self.item_fields) > 1 and train_data.item_feat is not None:
             self._item_feat_arrays = {
@@ -225,8 +255,8 @@ class BaseRetriever(Recommender):
         else:
             output["score"] = {"pos_score": pos_score}
             if full_score:
-                item_vec = jax.lax.stop_gradient(states["item_vector"]) \
-                    if "item_vector" in states else self._compute_item_vector(params)
+                # differentiable full-catalog scores (reference baseretriever.py:184)
+                item_vec = self._compute_item_vector(params)
                 output["score"]["all_score"] = self._apply(params, "score", query, item_vec)
 
         if return_query:

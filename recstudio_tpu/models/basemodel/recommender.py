@@ -417,27 +417,24 @@ class Recommender:
             def scan_eval(params, stacked, states):
                 def body(carry, batch):
                     sums, weight = carry
-                    per_sums, bs, _ = step(params, batch, states)
+                    per_sums, bs, glob = step(params, batch, states)
                     new_sums = {k: sums[k] + per_sums[k] for k in per_sums}
-                    return (new_sums, weight + bs), None
+                    return (new_sums, weight + bs), glob
 
                 b0 = {k: v[0] for k, v in stacked.items()}
                 init_sums, _, _ = step(params, b0, states)
                 init = ({k: jnp.zeros_like(v) for k, v in init_sums.items()},
                         jnp.zeros((), jnp.float32))
-                (sums, weight), _ = jax.lax.scan(body, init, stacked)
-                return sums, weight
+                (sums, weight), globs = jax.lax.scan(body, init, stacked)
+                return sums, weight, globs
 
             self._eval_cache[key] = (stacked, jax.jit(scan_eval), batches)
         stacked, scan_eval, batches = self._eval_cache[key]
-        sums, weight = scan_eval(self.params, stacked, self.states)
+        sums, weight, globs = scan_eval(self.params, stacked, self.states)
         weight = float(weight)
         out = {k: float(v) / max(weight, 1.0) for k, v in sums.items()}
-        out.update(self._collect_global_metrics(metric_names, batches))
+        out.update(self._global_metrics(metric_names, globs))
         return out
-
-    def _collect_global_metrics(self, metric_names, batches) -> Dict[str, float]:
-        return {}
 
     def _global_metrics(self, metric_names, gathered) -> Dict[str, float]:
         return {}

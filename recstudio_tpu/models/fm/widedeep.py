@@ -1,0 +1,48 @@
+"""WideDeep: wide linear + deep MLP.
+
+Reference: recstudio/model/fm/widedeep.py.
+"""
+import flax.linen as nn
+
+from ...data.dataset import TripletDataset
+from ..basemodel.baseranker import BaseRanker
+from ..loss_func import BCEWithLogitLoss
+from ..module import MLPModule
+from ..module.ctr import Embeddings, LinearLayer, make_field_specs
+
+
+class WideDeepNet(nn.Module):
+    field_specs: tuple
+    embed_dim: int
+    mlp_layer: tuple
+    activation: str
+    dropout: float
+    batch_norm: bool
+
+    @nn.compact
+    def __call__(self, batch, training: bool = False):
+        wide = LinearLayer(self.field_specs, name="linear")(batch)
+        emb = Embeddings(self.field_specs, self.embed_dim, name="embedding")(batch)
+        F = len(self.field_specs)
+        deep = MLPModule([F * self.embed_dim, *self.mlp_layer, 1],
+                         activation_func=self.activation, dropout=self.dropout,
+                         batch_norm=self.batch_norm, last_activation=False,
+                         last_bn=False, name="mlp")(
+            emb.reshape(emb.shape[0], -1), training=training).squeeze(-1)
+        return wide + deep
+
+
+class WideDeep(BaseRanker):
+
+    @staticmethod
+    def _get_dataset_class():
+        return TripletDataset
+
+    def _get_score_net(self, train_data):
+        mc = self.config["model"]
+        return WideDeepNet(make_field_specs(self.fields, train_data), self.embed_dim,
+                           tuple(mc["mlp_layer"]), mc["activation"], mc["dropout"],
+                           mc.get("batch_norm", False))
+
+    def _get_loss_func(self):
+        return BCEWithLogitLoss()

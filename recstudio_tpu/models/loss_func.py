@@ -40,7 +40,14 @@ def _not_pad(pos_score):
 class SoftmaxLoss(FullScoreLoss):
     def __call__(self, label, pos_score, all_score):
         if all_score.ndim > pos_score.ndim:
-            return jnp.mean(jax.nn.logsumexp(all_score, axis=-1) - pos_score)
+            # per-position softmax (all_score [..., N] aligned with pos_score
+            # [...]): global mean over non-padded positions — identical to the
+            # reference's mean over flattened masked positions
+            out = jax.nn.logsumexp(all_score, axis=-1) - pos_score
+            valid = _not_pad(pos_score)
+            out = jnp.where(valid, out, 0.0)
+            return out.sum() / jnp.maximum(valid.sum(), 1)
+        # one softmax per row shared by multiple positives (AutoEncoder case)
         out = jax.nn.logsumexp(all_score, axis=-1, keepdims=True) - pos_score
         valid = _not_pad(pos_score)
         out = jnp.where(valid, out, 0.0)

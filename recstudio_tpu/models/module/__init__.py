@@ -5,9 +5,9 @@ import jax.numpy as jnp
 
 from .layers import (AttentionLayer, CrossCompressUnit, Dice, FeatInterLayers,
                      GRULayer, HStackLayer, KMaxPoolingLayer, LambdaLayer,
-                     MLPModule, ResidualLayer, SeqPoolingLayer,
-                     TransformerEncoder, TransformerLayer, VStackLayer,
-                     get_act)
+                     MLPModule, MultiHeadAttention, ResidualLayer,
+                     SeqPoolingLayer, TransformerEncoder, TransformerLayer,
+                     VStackLayer, get_act)
 
 
 class Embedding(nn.Module):

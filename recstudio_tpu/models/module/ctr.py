@@ -1,0 +1,262 @@
+"""CTR feature-embedding machinery and interaction blocks (flax).
+
+Re-implements the reference toolkit (recstudio/model/module/ctr.py): the
+``Embeddings`` feature embedder (token / token_seq / float fields with
+optional shared dense embedding), first-order ``LinearLayer``, and the
+interaction blocks powering the fm zoo (FMLayer:205, CrossNetwork:245/V2:262,
+CIN:446, AFMLayer:512, InnerProduct/OuterProductLayer:926/945,
+SelfAttentionInteractingLayer:564, ...). Field metadata is carried as a static
+tuple of (name, type, vocab_size) so modules stay hashable for jit.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import MLPModule, MultiHeadAttention, get_act
+
+FieldSpecTuple = Tuple[str, str, int]  # (name, type, num_values)
+
+
+def make_field_specs(fields, data) -> Tuple[FieldSpecTuple, ...]:
+    """Build the static field-spec tuple for Embeddings from a dataset."""
+    ratings = data.frating if isinstance(data.frating, list) else [data.frating]
+    out = []
+    for f in sorted(fields):
+        if f in ratings or f is None:
+            continue
+        t = data.field2type.get(f)
+        if t is None or t == "str":
+            continue
+        n = data.num_values(f) if t.startswith("token") else 1
+        out.append((f, t, n))
+    return tuple(out)
+
+
+class DenseEmbedding(nn.Module):
+    """float scalar -> embed_dim vector (Linear(1, D))."""
+    embed_dim: int
+    bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(self.embed_dim, use_bias=self.bias, name="weight")(
+            x[..., None].astype(jnp.float32))
+
+
+class Embeddings(nn.Module):
+    """Per-field embeddings stacked to [B, F, D] (or [B, ..., F, D]).
+
+    token fields -> table lookup; token_seq -> lookup + mean/sum pooling over
+    non-pad entries; float -> dense embedding (optionally shared).
+    """
+    field_specs: Tuple[FieldSpecTuple, ...]
+    embed_dim: int
+    reduction: str = "mean"
+    share_dense_embedding: bool = False
+    dense_emb_bias: bool = False
+
+    @nn.compact
+    def __call__(self, batch, training: bool = False):
+        embs = []
+        shared_dense = None
+        if self.share_dense_embedding and any(t == "float" for _, t, _ in self.field_specs):
+            shared_dense = DenseEmbedding(self.embed_dim, self.dense_emb_bias,
+                                          name="shared_dense")
+        for name, t, n in self.field_specs:
+            d = batch[name]
+            if t == "token":
+                table = self.param(f"{name}_embedding", nn.initializers.normal(0.02),
+                                   (n, self.embed_dim))
+                embs.append(jnp.take(table, d, axis=0))
+            elif t == "token_seq":
+                table = self.param(f"{name}_embedding", nn.initializers.normal(0.02),
+                                   (n, self.embed_dim))
+                e = jnp.take(table, d, axis=0)                 # [..., L, D]
+                valid = (d > 0).astype(e.dtype)[..., None]
+                s = (e * valid).sum(-2)
+                if self.reduction == "mean":
+                    s = s / jnp.maximum(valid.sum(-2), 1.0)
+                embs.append(s)
+            else:  # float / float_seq treated as dense scalars
+                emb_mod = shared_dense if shared_dense is not None else \
+                    DenseEmbedding(self.embed_dim, self.dense_emb_bias, name=f"{name}_dense")
+                embs.append(emb_mod(d.astype(jnp.float32)))
+        return jnp.stack(embs, axis=-2)                        # [..., F, D]
+
+    @property
+    def num_features(self) -> int:
+        return len(self.field_specs)
+
+
+class LinearLayer(nn.Module):
+    """First-order term: sum of 1-d field embeddings + bias."""
+    field_specs: Tuple[FieldSpecTuple, ...]
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, batch, training: bool = False):
+        emb = Embeddings(self.field_specs, 1, name="embedding")(batch)  # [..., F, 1]
+        out = emb.squeeze(-1).sum(-1)
+        if self.bias:
+            b = self.param("bias", nn.initializers.zeros, (1,))
+            out = out + b[0]
+        return out
+
+
+class FMLayer(nn.Module):
+    """Second-order FM interaction: 0.5*((sum v)^2 - sum v^2)."""
+    reduction: Optional[str] = None
+
+    def __call__(self, inputs):
+        square_of_sum = jnp.sum(inputs, axis=-2) ** 2
+        sum_of_square = jnp.sum(inputs ** 2, axis=-2)
+        output = 0.5 * (square_of_sum - sum_of_square)         # [..., D]
+        if self.reduction == "sum":
+            return output.sum(-1)
+        if self.reduction == "mean":
+            return output.mean(-1)
+        return output
+
+
+class CrossNetwork(nn.Module):
+    """DCN cross layers: x_{l+1} = x0 * (w^T x_l) + b + x_l."""
+    embed_dim: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, x0):
+        x = x0
+        for i in range(self.num_layers):
+            w = self.param(f"w_{i}", nn.initializers.normal(1.0), (self.embed_dim,))
+            b = self.param(f"b_{i}", nn.initializers.zeros, (self.embed_dim,))
+            x = x + x0 * (x @ w)[..., None] + b
+        return x
+
+
+class CrossNetworkV2(nn.Module):
+    """DCNv2 cross layers: x_{l+1} = x0 * (W x_l + b) + x_l."""
+    embed_dim: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, x0):
+        x = x0
+        for i in range(self.num_layers):
+            x = x0 * nn.Dense(self.embed_dim, name=f"linear_{i}")(x) + x
+        return x
+
+
+class InnerProductLayer(nn.Module):
+    """Pairwise field inner products: [B, F, D] -> [B, F*(F-1)/2(, D)]."""
+    num_fields: int
+    reduction: bool = True  # True -> scalar per pair; False -> vector per pair
+
+    def __call__(self, inputs):
+        F = self.num_fields
+        rows, cols = jnp.triu_indices(F, k=1)
+        p = inputs[..., rows, :] * inputs[..., cols, :]        # [..., P, D]
+        if self.reduction:
+            return p.sum(-1)
+        return p
+
+
+class OuterProductLayer(nn.Module):
+    """Pairwise kernel-weighted outer products (PNN)."""
+    num_fields: int
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, inputs):
+        F = self.num_fields
+        rows, cols = jnp.triu_indices(F, k=1)
+        num_pairs = len(rows)
+        kernel = self.param("kernel", nn.initializers.xavier_uniform(),
+                            (self.embed_dim, num_pairs, self.embed_dim))
+        p = inputs[..., rows, :]                               # [..., P, D]
+        q = inputs[..., cols, :]
+        kp = jnp.einsum("...pd,dpe->...pe", p, kernel)
+        return (kp * q).sum(-1)                                # [..., P]
+
+
+class CIN(nn.Module):
+    """Compressed interaction network (xDeepFM)."""
+    embed_dim: int
+    num_features: int
+    cin_layer_size: Sequence[int]
+    activation: str = "relu"
+    direct: bool = True
+
+    @nn.compact
+    def __call__(self, inputs):
+        B, F0, D = inputs.shape
+        sizes = list(self.cin_layer_size)
+        if not self.direct:
+            sizes = [s // 2 * 2 for s in sizes[:-1]] + [sizes[-1]]
+        act = get_act(self.activation)
+        hidden = inputs
+        finals = []
+        for i, size in enumerate(sizes):
+            z = jnp.einsum("bhd,bmd->bhmd", hidden, inputs)
+            z = z.reshape(B, hidden.shape[1] * F0, D)
+            w = self.param(f"conv_{i}", nn.initializers.xavier_uniform(),
+                           (hidden.shape[1] * F0, size))
+            b = self.param(f"conv_b_{i}", nn.initializers.zeros, (size,))
+            out = act(jnp.einsum("bkd,kh->bhd", z, w) + b[None, :, None])
+            if self.direct:
+                finals.append(out)
+                hidden = out
+            else:
+                if i != len(sizes) - 1:
+                    hidden, direct = jnp.split(out, 2, axis=1)
+                else:
+                    direct, hidden = out, None
+                finals.append(direct)
+        result = jnp.concatenate(finals, axis=1).sum(-1)       # [B, sum(sizes)]
+        return nn.Dense(1, name="linear")(result).squeeze(-1)
+
+
+class AFMLayer(nn.Module):
+    """Attentional FM: attention over pairwise interactions."""
+    embed_dim: int
+    attention_dim: int
+    num_fields: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, inputs, training: bool = False):
+        prod = InnerProductLayer(self.num_fields, reduction=False)(inputs)  # [B, P, D]
+        h = nn.Dense(self.attention_dim, name="attn_w")(prod)
+        h = jax.nn.relu(h)
+        a = nn.Dense(1, use_bias=False, name="attn_h")(h)
+        a = jax.nn.softmax(a, axis=1)
+        out = (a * prod).sum(1)
+        if self.dropout > 0:
+            out = nn.Dropout(self.dropout, deterministic=not training)(out)
+        return nn.Dense(1, use_bias=False, name="p")(out).squeeze(-1)
+
+
+class SelfAttentionInteractingLayer(nn.Module):
+    """AutoInt block: multi-head self-attention over field embeddings."""
+    embed_dim: int
+    n_head: int = 1
+    dropout: float = 0.0
+    residual: bool = True
+    residual_project: bool = True
+    layer_norm: bool = False
+
+    @nn.compact
+    def __call__(self, inputs, training: bool = False):
+        out = MultiHeadAttention(self.embed_dim, self.n_head, self.dropout,
+                                 name="attn")(inputs, inputs, inputs,
+                                              training=training)
+        if self.residual:
+            res = nn.Dense(self.embed_dim, name="res")(inputs) \
+                if self.residual_project else inputs
+            out = out + res
+        if self.layer_norm:
+            out = nn.LayerNorm(name="ln")(out)
+        return jax.nn.relu(out)

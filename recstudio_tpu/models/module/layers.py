@@ -15,6 +15,28 @@ import jax
 import jax.numpy as jnp
 
 
+class SimpleBatchNorm(nn.Module):
+    """Stateless batch normalization: always normalizes with the statistics of
+    the current batch (no running averages — avoids threading a mutable
+    batch_stats collection through the jitted engine; eval batches are large
+    enough that this matches torch BatchNorm closely)."""
+    epsilon: float = 1e-5
+    use_scale: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        axes = tuple(range(x.ndim - 1))
+        mean = x.mean(axes, keepdims=True)
+        var = x.var(axes, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        if self.use_scale:
+            y = y * self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        return y
+
+
 class Dice(nn.Module):
     """Data-adaptive activation (DIN)."""
     emb_size: int
@@ -22,8 +44,8 @@ class Dice(nn.Module):
     @nn.compact
     def __call__(self, x):
         alpha = self.param("alpha", nn.initializers.zeros, (self.emb_size,))
-        norm = nn.BatchNorm(use_running_average=True, use_bias=False, use_scale=False,
-                            epsilon=1e-8, name="bn")(x)
+        norm = SimpleBatchNorm(epsilon=1e-8, use_scale=False, use_bias=False,
+                               name="bn")(x)
         p = jax.nn.sigmoid(norm)
         return x * p + alpha * x * (1.0 - p)
 
@@ -80,7 +102,7 @@ class MLPModule(nn.Module):
             x = nn.Dense(sizes[i + 1], use_bias=self.bias, name=f"dense_{i}")(x)
             is_last = i == n_layers - 1
             if self.batch_norm and (not is_last or self.last_bn):
-                x = nn.BatchNorm(use_running_average=not training, name=f"bn_{i}")(x)
+                x = SimpleBatchNorm(name=f"bn_{i}")(x)
             if not is_last or self.last_activation:
                 act = get_act(self.activation_func, sizes[i + 1])
                 x = act(x) if not isinstance(act, nn.Module) else act(x)
@@ -199,30 +221,28 @@ class SeqPoolingLayer(nn.Module):
         return out
 
 
-class AttentionLayer(nn.Module):
-    """Multi-head scaled-dot-product attention with optional padding mask.
-
-    Mirrors module/layers.py:322 (the 'scaled-dot-product' mode used by
-    SASRec-style encoders).
-    """
+class MultiHeadAttention(nn.Module):
+    """Projected multi-head softmax attention (torch MultiheadAttention
+    semantics): used by transformer blocks and the 'multi-head' mode of
+    AttentionLayer."""
     q_dim: int
-    k_dim: Optional[int] = None
-    v_dim: Optional[int] = None
-    mlp_layers: Sequence[int] = ()
     n_head: int = 1
     dropout: float = 0.0
-    attention_type: str = "scaled-dot-product"
+    bias: bool = True
 
     @nn.compact
     def __call__(self, query, key, value, key_padding_mask=None, attn_mask=None,
-                 need_weight: bool = False, softmax: bool = True, training: bool = False):
+                 need_weight: bool = False, training: bool = False):
         d = self.q_dim
         H = self.n_head
         B, Lq, _ = query.shape
         Lk = key.shape[1]
-        q = nn.Dense(d, name="q_proj")(query).reshape(B, Lq, H, d // H).transpose(0, 2, 1, 3)
-        k = nn.Dense(d, name="k_proj")(key).reshape(B, Lk, H, d // H).transpose(0, 2, 1, 3)
-        v = nn.Dense(d, name="v_proj")(value).reshape(B, Lk, H, d // H).transpose(0, 2, 1, 3)
+        q = nn.Dense(d, use_bias=self.bias, name="q_proj")(query) \
+            .reshape(B, Lq, H, d // H).transpose(0, 2, 1, 3)
+        k = nn.Dense(d, use_bias=self.bias, name="k_proj")(key) \
+            .reshape(B, Lk, H, d // H).transpose(0, 2, 1, 3)
+        v = nn.Dense(d, use_bias=self.bias, name="v_proj")(value) \
+            .reshape(B, Lk, H, d // H).transpose(0, 2, 1, 3)
         logits = (q @ k.transpose(0, 1, 3, 2)) / jnp.sqrt(d / H)
         neg = jnp.finfo(logits.dtype).min
         if attn_mask is not None:
@@ -230,11 +250,61 @@ class AttentionLayer(nn.Module):
             logits = jnp.where(m, neg, logits)
         if key_padding_mask is not None:
             logits = jnp.where(key_padding_mask[:, None, None, :], neg, logits)
-        w = jax.nn.softmax(logits, axis=-1) if softmax else logits
+        w = jax.nn.softmax(logits, axis=-1)
         if self.dropout > 0:
             w = nn.Dropout(self.dropout, deterministic=not training)(w)
         out = (w @ v).transpose(0, 2, 1, 3).reshape(B, Lq, d)
-        out = nn.Dense(d, name="out_proj")(out)
+        out = nn.Dense(d, use_bias=self.bias, name="out_proj")(out)
+        if need_weight:
+            return out, w.mean(1)
+        return out
+
+
+class AttentionLayer(nn.Module):
+    """Reference-compatible attention dispatcher (module/layers.py:322):
+    'feedforward' (MLP-scored additive attention — default), 'multi-head', and
+    'scaled-dot-product'. ``softmax=False`` keeps raw (0-masked) weights,
+    matching NARM/STAMP semantics."""
+    q_dim: int
+    k_dim: Optional[int] = None
+    v_dim: Optional[int] = None
+    mlp_layers: Sequence[int] = ()
+    activation: str = "sigmoid"
+    n_head: int = 1
+    dropout: float = 0.0
+    bias: bool = True
+    attention_type: str = "feedforward"
+
+    @nn.compact
+    def __call__(self, query, key, value, key_padding_mask=None,
+                 need_weight: bool = False, attn_mask=None, softmax: bool = False,
+                 training: bool = False):
+        if self.attention_type == "multi-head":
+            return MultiHeadAttention(self.q_dim, self.n_head, self.dropout,
+                                      self.bias, name="attn")(
+                query, key, value, key_padding_mask=key_padding_mask,
+                attn_mask=attn_mask, need_weight=need_weight, training=training)
+        if self.attention_type == "feedforward":
+            k_dim = self.k_dim if self.k_dim is not None else self.q_dim
+            Lq, S = query.shape[1], key.shape[1]
+            q = jnp.broadcast_to(query[:, :, None, :],
+                                 (query.shape[0], Lq, S, query.shape[-1]))
+            k = jnp.broadcast_to(key[:, None, :, :],
+                                 (key.shape[0], Lq, S, key.shape[-1]))
+            h = jnp.concatenate([q, k], axis=-1)
+            h = MLPModule([self.q_dim + k_dim, *self.mlp_layers],
+                          activation_func=self.activation, bias=self.bias,
+                          name="mlp")(h)
+            w = nn.Dense(1, name="mlp_out")(h).squeeze(-1)       # [B, Lq, S]
+        else:  # scaled-dot-product
+            w = query @ key.transpose(0, 2, 1)
+        w = w / (query.shape[-1] ** 0.5)
+        if key_padding_mask is not None:
+            fill = -jnp.inf if softmax else 0.0
+            w = jnp.where(key_padding_mask[:, None, :], fill, w)
+        if softmax:
+            w = jax.nn.softmax(w, axis=-1)
+        out = w @ value
         if need_weight:
             return out, w
         return out
@@ -252,8 +322,8 @@ class TransformerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, attn_mask=None, training: bool = False):
-        attn = AttentionLayer(self.d_model, n_head=self.n_head, dropout=self.dropout,
-                              name="self_attn")(
+        attn = MultiHeadAttention(self.d_model, n_head=self.n_head, dropout=self.dropout,
+                                  name="self_attn")(
             x, x, x, key_padding_mask=key_padding_mask, attn_mask=attn_mask,
             training=training)
         if self.dropout > 0:

@@ -14,8 +14,8 @@ import jax.numpy as jnp
 
 
 def _is_catalog(query, items) -> bool:
-    """True for the (B,D) x (N,D) all-item case."""
-    return query.ndim == items.ndim and query.shape[0] != items.shape[0]
+    """True for the (..., D) x (N, D) all-item case (catalog scoring)."""
+    return items.ndim == 2 and (query.ndim != 2 or query.shape[0] != items.shape[0])
 
 
 class InnerProductScorer:

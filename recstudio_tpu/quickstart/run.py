@@ -45,6 +45,15 @@ def run(model: str, dataset: str, model_config: Optional[Union[Dict, str]] = Non
     elif isinstance(data_config, str):
         data_conf = deep_update(data_conf, load_yaml(data_config))
 
+    # ETL-level keys in the model's data group override the dataset config
+    # (reference quickstart/run.py:45-59)
+    _ETL_KEYS = ("low_rating_thres", "min_user_inter", "min_item_inter",
+                 "max_seq_len", "drop_dup", "field_max_len",
+                 "float_field_preprocess", "save_cache")
+    etl_overrides = {k: v for k, v in model_conf.get("data", {}).items()
+                     if k in _ETL_KEYS}
+    data_conf = deep_update(etl_overrides, data_conf)
+
     dataset_class = model_class._get_dataset_class()
     ds = dataset_class(name=dataset, config=data_conf or None)
     datasets = ds.build(**model_conf["data"])
