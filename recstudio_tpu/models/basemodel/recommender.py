@@ -235,6 +235,29 @@ class Recommender:
         arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
         shuffle = bool(self.config["data"].get("shuffle", True))
 
+        # data parallelism: constrain each scan batch to be sharded over the
+        # 'dp' mesh axis; GSPMD partitions the step and psums the gradients
+        dp_sharding = None
+        if str(self.config["train"].get("accelerator", "")).lower() == "dp" \
+                and jax.device_count() > 1 and bs % jax.device_count() == 0:
+            from ...parallel import make_mesh
+            from jax.sharding import NamedSharding, PartitionSpec
+            mesh = make_mesh(dp=jax.device_count(), mp=1)
+            dp_sharding = {
+                "mesh": mesh,
+                "spec": lambda x: NamedSharding(
+                    mesh, PartitionSpec("dp", *([None] * (x.ndim - 1))))
+            }
+            self.logger.info(f"data-parallel over {jax.device_count()} devices")
+
+        def _constrain(batch):
+            if dp_sharding is None:
+                return batch
+            return {k: (jax.lax.with_sharding_constraint(v, dp_sharding["spec"](v))
+                        if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == bs
+                        else v)
+                    for k, v in batch.items()}
+
         def epoch_fn(params, opt_state, rng, data, states):
             perm = jax.random.permutation(rng, n) if shuffle else jnp.arange(n)
             pad = nbatch * bs - n
@@ -244,7 +267,7 @@ class Recommender:
 
             def body(carry, sel):
                 params, opt_state, i = carry
-                batch = {k: v[sel] for k, v in data.items()}
+                batch = _constrain({k: v[sel] for k, v in data.items()})
                 step_rng = jax.random.fold_in(rng, i)
                 params, opt_state, loss = self._grad_step(
                     optimizer, params, opt_state, batch, step_rng, states)

@@ -28,11 +28,27 @@ _SafeLoaderWithTuple.add_constructor(
 )
 
 
+import re
+
+_SCI_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
+
+
+def _coerce_sci(obj):
+    """YAML 1.1 parses '1e-4' as a string; coerce scientific notation to float."""
+    if isinstance(obj, dict):
+        return {k: _coerce_sci(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_coerce_sci(v) for v in obj]
+    if isinstance(obj, str) and _SCI_RE.match(obj):
+        return float(obj)
+    return obj
+
+
 def load_yaml(path: str) -> Dict[str, Any]:
     """Load one YAML file into a dict ({} for empty files)."""
     with open(path, "r", encoding="utf-8") as f:
         conf = yaml.load(f, Loader=_SafeLoaderWithTuple)
-    return conf if conf is not None else {}
+    return _coerce_sci(conf) if conf is not None else {}
 
 
 def deep_update(base: Dict[str, Any], update: Optional[Dict[str, Any]]) -> Dict[str, Any]:

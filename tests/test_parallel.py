@@ -1,0 +1,108 @@
+"""Multi-device sharding tests on the 8-way virtual CPU mesh.
+
+Covers the capability the reference never shipped (its DDP path is dead code,
+reference recommender.py:740): data-parallel batch sharding, row-sharded
+embedding tables with collective lookup, and a full sharded train step.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from recstudio_tpu.parallel import (batch_shardings, make_mesh,
+                                    param_shardings, replicated)
+from recstudio_tpu.parallel.embedding import pad_vocab, sharded_lookup
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "tests need 8 virtual devices (see conftest)"
+    return make_mesh(dp=4, mp=2)
+
+
+def test_mesh_shapes(mesh8):
+    assert mesh8.shape == {"dp": 4, "mp": 2}
+
+
+def test_sharded_lookup_matches_dense(mesh8):
+    from jax.experimental.shard_map import shard_map
+    n_rows, d = pad_vocab(100, 2), 16
+    table = jax.random.normal(jax.random.PRNGKey(0), (n_rows, d))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (32,), 0, 100)
+
+    lookup = shard_map(
+        lambda t, i: sharded_lookup(t, i, "mp"),
+        mesh=mesh8, in_specs=(P("mp", None), P()), out_specs=P())
+    out = lookup(table, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(table[ids]), rtol=1e-6)
+
+
+def test_sharded_lookup_gradient(mesh8):
+    from jax.experimental.shard_map import shard_map
+    n_rows, d = 8, 4
+    table = jnp.ones((n_rows, d))
+    ids = jnp.array([1, 1, 5])
+
+    def loss(t):
+        emb = shard_map(lambda tt, ii: sharded_lookup(tt, ii, "mp"),
+                        mesh=mesh8, in_specs=(P("mp", None), P()),
+                        out_specs=P())(t, ids)
+        return (emb ** 2).sum()
+
+    g = jax.grad(loss)(table)
+    expected = np.zeros((n_rows, d))
+    expected[1] = 4.0  # two occurrences, d(emb^2) = 2*emb = 2, times 2 hits
+    expected[5] = 2.0
+    np.testing.assert_allclose(np.asarray(g), expected, rtol=1e-6)
+
+
+def test_dp_mp_train_step_runs(mesh8):
+    """Full BPR-style train step with batch over dp and tables over mp."""
+    num_users, num_items, d, B = 32, 64, 16, 16
+    rngk = jax.random.PRNGKey(0)
+    params = {
+        "user_embedding": 0.02 * jax.random.normal(rngk, (num_users, d)),
+        "item_embedding": 0.02 * jax.random.normal(jax.random.fold_in(rngk, 1),
+                                                   (num_items, d)),
+    }
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+    uid = jax.random.randint(jax.random.fold_in(rngk, 2), (B,), 1, num_users)
+    iid = jax.random.randint(jax.random.fold_in(rngk, 3), (B,), 1, num_items)
+    neg = jax.random.randint(jax.random.fold_in(rngk, 4), (B,), 1, num_items)
+
+    def loss_fn(p):
+        q = p["user_embedding"][uid]
+        pos = (q * p["item_embedding"][iid]).sum(-1)
+        negs = (q * p["item_embedding"][neg]).sum(-1)
+        return -jnp.mean(jax.nn.log_sigmoid(pos - negs))
+
+    p_shard = param_shardings(params, mesh8)
+    params_sharded = jax.device_put(params, p_shard)
+    opt_sharded = jax.device_put(opt_state, replicated(opt_state, mesh8))
+
+    @jax.jit
+    def step(p, o):
+        l, g = jax.value_and_grad(loss_fn)(p)
+        updates, o = opt.update(g, o, p)
+        return optax.apply_updates(p, updates), o, l
+
+    with mesh8:
+        p2, o2, l1 = step(params_sharded, opt_sharded)
+        _, _, l2 = step(p2, o2)
+    assert np.isfinite(float(l1)) and float(l2) < float(l1)
+
+
+def test_accelerator_dp_training():
+    """train.accelerator=dp shards the scan-epoch batch across devices."""
+    from recstudio_tpu.quickstart import run
+    np.random.seed(42)
+    rec, ds, res = run("BPR", "ml-100k",
+                       model_config={"train": {"epochs": 2, "batch_size": 512,
+                                               "accelerator": "dp"},
+                                     "eval": {"batch_size": 64, "cutoff": [5],
+                                              "topk": 20}},
+                       verbose=False)
+    assert np.isfinite(res["ndcg@5"])
