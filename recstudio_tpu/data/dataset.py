@@ -341,10 +341,13 @@ class TripletDataset:
         for root, members in shared.items():
             # collect all token occurrences for this shared id space
             columns = []   # (feat, field, is_seq, net_index or None)
+            core_feats = [f for f in (self.inter_feat, self.user_feat, self.item_feat)
+                          if f is not None]
             for field in members:
                 for feat in self._feat_list():
                     if feat is not None and field in feat.columns:
                         columns.append((feat, field))
+            is_core = [any(feat is cf for cf in core_feats) for feat, _ in columns]
             token_arrays = []
             for feat, field in columns:
                 col = feat[field]
@@ -370,10 +373,29 @@ class TripletDataset:
             codes = codes + 1  # reserve 0 for [PAD]
             parts = np.split(codes, split_points[:-1])
             token2idx = {t: i for i, t in enumerate(tokens)}
+            # when entity ids from network feats extend a core id space
+            # (e.g. KG entities aliased onto items), the core fields keep the
+            # compact vocab [0, max core id] while network fields see the full
+            # extended vocab (reference dataset.py:436-460)
+            has_network = not all(is_core)
+            core_vocab_size = len(tokens)
+            if has_network and any(is_core):
+                core_max = 0
+                for part, core in zip(parts, is_core):
+                    if core and len(part):
+                        core_max = max(core_max, int(part.max()))
+                core_vocab_size = core_max + 1
             for field in members:
                 if field not in self.field2tokens:
-                    self.field2tokens[field] = tokens
-                    self.field2token2idx[field] = token2idx
+                    field_is_core = any(
+                        f == field and core for (_, f), core in zip(columns, is_core))
+                    if has_network and field_is_core:
+                        self.field2tokens[field] = tokens[:core_vocab_size]
+                        self.field2token2idx[field] = {
+                            t: i for i, t in enumerate(tokens[:core_vocab_size])}
+                    else:
+                        self.field2tokens[field] = tokens
+                        self.field2token2idx[field] = token2idx
             for (feat, field), codes_part in zip(columns, parts):
                 if self.field2type[field].endswith("seq"):
                     lens = feat[field].map(len).values

@@ -62,10 +62,18 @@ class BaseRanker(Recommender):
 
     def forward(self, params, batch, rng, states, training: bool = True):
         scores = self.score(params, batch, training=training, rng=rng)
+        if isinstance(self.frating, list):  # multitask: one head per rating
+            return {r: {"pos_score": scores[r], "label": batch[r]}
+                    for r in self.frating}
         return {"pos_score": scores, "label": batch[self.frating]}
 
     def training_step(self, params, batch, rng, states):
         out = self.forward(params, batch, rng, states)
+        if isinstance(self.frating, list):
+            weights = self.config["train"].get("weights") or [1.0] * len(self.frating)
+            w = jax.nn.softmax(jnp.asarray(weights, jnp.float32))
+            return sum(w[i] * self.loss_fn(out[r]["label"], out[r]["pos_score"])
+                       for i, r in enumerate(self.frating))
         return self.loss_fn(out["label"], out["pos_score"])
 
     # -- evaluation ---------------------------------------------------------
@@ -74,28 +82,35 @@ class BaseRanker(Recommender):
         global_names = {m for m, _ in eval_mod.get_global_metrics(metric_names)}
         thres = self.config["eval"].get("binarized_prob_thres", 0.5)
 
+        ratings = self.frating if isinstance(self.frating, list) else [self.frating]
+        multitask = isinstance(self.frating, list)
+
         @jax.jit
         def step(params, batch, states):
             bs = batch["_size"]
-            B = batch[self.frating].shape[0]
+            B = batch[ratings[0]].shape[0]
             valid = (jnp.arange(B) < bs).astype(jnp.float32)
-            scores = self.score(params, batch, training=False)
-            label = batch[self.frating]
+            scores_all = self.score(params, batch, training=False)
             out = {}
-            for name, fn in pred_m:
-                if name in global_names:
-                    continue
-                if name == "logloss":
-                    per = fn(scores, label)
-                elif name == "accuracy":
-                    per = fn(jax.nn.sigmoid(scores), label, thres)
-                elif name in ("mse", "mae"):
-                    per = fn(jax.nn.sigmoid(scores), label)
-                else:  # binary precision/recall/f1 over predictions: later round
-                    continue
-                out[name] = (per * valid).sum()
-            glob = {"score": scores, "label": label, "weight": valid} \
-                if global_names else None
+            glob = {} if global_names else None
+            for r in ratings:
+                scores = scores_all[r] if multitask else scores_all
+                label = batch[r]
+                prefix = f"{r}_" if multitask else ""
+                for name, fn in pred_m:
+                    if name in global_names:
+                        continue
+                    if name == "logloss":
+                        per = fn(scores, label)
+                    elif name == "accuracy":
+                        per = fn(jax.nn.sigmoid(scores), label, thres)
+                    elif name in ("mse", "mae"):
+                        per = fn(jax.nn.sigmoid(scores), label)
+                    else:  # binary precision/recall/f1 over predictions: later
+                        continue
+                    out[prefix + name] = (per * valid).sum()
+                if global_names:
+                    glob[r] = {"score": scores, "label": label, "weight": valid}
             return out, bs.astype(jnp.float32), glob
         return step
 
@@ -103,10 +118,16 @@ class BaseRanker(Recommender):
         global_m = eval_mod.get_global_metrics(metric_names)
         if not global_m or globs is None:
             return {}
-        scores = globs["score"].reshape(-1)
-        labels = globs["label"].reshape(-1)
-        weights = globs["weight"].reshape(-1)
-        return {name: float(fn(scores, labels, weights)) for name, fn in global_m}
+        multitask = isinstance(self.frating, list)
+        out = {}
+        for r, g in globs.items():
+            scores = g["score"].reshape(-1)
+            labels = g["label"].reshape(-1)
+            weights = g["weight"].reshape(-1)
+            prefix = f"{r}_" if multitask else ""
+            for name, fn in global_m:
+                out[prefix + name] = float(fn(scores, labels, weights))
+        return out
 
     # -- two-stage retrieval (rerank the retriever's candidates) -----------
     def topk(self, params, batch, k: int, user_hist=None, states=None):

@@ -395,12 +395,51 @@ class BaseRetriever(Recommender):
     # ------------------------------------------------------------------
     # train / eval steps
     # ------------------------------------------------------------------
+    def _use_fused_softmax(self) -> bool:
+        """Use the Pallas fused log-partition kernel for SoftmaxLoss models:
+        streams item chunks through VMEM instead of materializing [B(,L), N]
+        score matrices (ops/softmax_z.py)."""
+        from ..loss_func import SoftmaxLoss
+        flag = str(self.config["train"].get("fused_softmax", "auto")).lower()
+        if flag == "false":
+            return False
+        return (type(self.loss_fn) is SoftmaxLoss and self.sampler is None
+                and type(self.score_func) is InnerProductScorer
+                and (flag == "true" or jax.default_backend() == "tpu"))
+
     def training_step(self, params, batch, rng, states):
+        if self._use_fused_softmax():
+            return self._fused_softmax_step(params, batch, rng, states)
         output = self.forward(params, batch, rng, states,
                               full_score=isinstance(self.loss_fn, FullScoreLoss))
         score = output["score"]
         score["label"] = batch[self.frating]
         return self.loss_fn(**score)
+
+    def _fused_softmax_step(self, params, batch, rng, states):
+        from ...ops.softmax_z import catalog_logsumexp
+        rng_q, _ = jax.random.split(rng)
+        query = self._apply(params, "encode_query", self._get_query_feat(batch),
+                            rng=rng_q, training=True)
+        pos_vec = self._apply(params, "encode_item", self._get_item_feat(batch),
+                              rng=rng_q, training=True)
+        pos_score = self._apply(params, "score", query, pos_vec)
+        if batch[self.fiid].ndim > 1:
+            pos_score = jnp.where(batch[self.fiid] == 0, -jnp.inf, pos_score)
+        item_vec = self._compute_item_vector(params)
+        d = query.shape[-1]
+        logz = catalog_logsumexp(query.reshape(-1, d), item_vec) \
+            .reshape(query.shape[:-1])
+        if logz.shape == pos_score.shape:
+            # per-position softmax: global mean over valid positions
+            out = logz - pos_score
+            valid = ~jnp.isinf(pos_score)
+            return jnp.where(valid, out, 0.0).sum() / jnp.maximum(valid.sum(), 1)
+        # one softmax per row shared by several positives
+        out = logz[..., None] - pos_score
+        valid = ~jnp.isinf(pos_score)
+        out = jnp.where(valid, out, 0.0)
+        return jnp.mean(out.sum(-1) / jnp.maximum(valid.sum(-1), 1))
 
     def _make_eval_step(self, metric_names, cutoffs):
         rank_m = eval_mod.get_rank_metrics(metric_names)

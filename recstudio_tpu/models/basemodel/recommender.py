@@ -307,6 +307,8 @@ class Recommender:
             if eval_mod.get_rank_metrics(vm):
                 cutoffs = cutoff if isinstance(cutoff, list) else [cutoff]
                 vm = f"{vm}@{cutoffs[0]}"
+            if isinstance(self.frating, list):  # multitask: monitor first task
+                vm = f"{self.frating[0]}_{vm}"
             self.val_metric = vm
         self.callback = self._get_callback(train_data.name)
 

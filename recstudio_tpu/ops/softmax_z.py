@@ -1,0 +1,230 @@
+"""Fused full-catalog softmax partition function (Pallas TPU kernel).
+
+``catalog_logsumexp(query [B, D], items [N, D]) -> logZ [B]`` is the hot op of
+every full-softmax model (SoftmaxLoss retrievers: BERT4Rec / MultiVAE / NARM /
+STAMP — reference loss_func.py:39). Materializing the [B, N] score matrix in
+HBM is the reference's approach; this kernel streams item chunks through VMEM
+with an online (flash-style) max/sum, so HBM traffic is O(B*D + N*D) instead
+of O(B*N), and the scoring matmul runs on the MXU fused with the reduction.
+
+Backward (custom VJP) recomputes chunk scores and accumulates
+  dQ = diag(g) P Items       (P = softmax over the catalog)
+  dItems = P^T diag(g) Q
+with the same chunking. A pure-XLA reference implementation is provided for
+parity tests and as a CPU fallback.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -jnp.inf
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _interpret() -> bool:
+    """Run the kernels in interpreter mode off-TPU (tests on CPU)."""
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# reference implementation (XLA)
+# ---------------------------------------------------------------------------
+def catalog_logsumexp_xla(query: jax.Array, items: jax.Array) -> jax.Array:
+    return jax.nn.logsumexp(query @ items.T, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+def _fwd_kernel(n_items_ref, q_ref, it_ref, out_ref, m_ref, l_ref):
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    s = jnp.dot(q_ref[:], it_ref[:].T, preferred_element_type=jnp.float32)
+    # mask padded item rows (global col id >= n_items)
+    ct = s.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k * ct
+    s = jnp.where(col < n_items_ref[0], s, NEG_INF)
+
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+    # guard exp(-inf - -inf)
+    alpha = jnp.where(jnp.isinf(m_prev) & jnp.isinf(m_new), 0.0,
+                      jnp.exp(m_prev - m_new))
+    p = jnp.exp(jnp.where(jnp.isinf(m_new), NEG_INF, s - m_new))
+    l_ref[:] = l_ref[:] * alpha + p.sum(axis=-1, keepdims=True)
+    m_ref[:] = m_new
+
+    @pl.when(k == nk - 1)
+    def _done():
+        out_ref[:] = m_ref[:] + jnp.log(l_ref[:])
+
+
+def _fwd_pallas(query, items, block_b: int, block_n: int):
+    B, D = query.shape
+    N = items.shape[0]
+    Bp, Np = _round_up(B, block_b), _round_up(N, block_n)
+    qp = jnp.pad(query, ((0, Bp - B), (0, 0)))
+    ip = jnp.pad(items, ((0, Np - N), (0, 0)))
+    n_items = jnp.asarray([N], jnp.int32)
+    out = pl.pallas_call(
+        _fwd_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Bp // block_b, Np // block_n),
+            in_specs=[
+                pl.BlockSpec((block_b, D), lambda i, k, *_: (i, 0)),
+                pl.BlockSpec((block_n, D), lambda i, k, *_: (k, 0)),
+            ],
+            out_specs=pl.BlockSpec((block_b, 1), lambda i, k, *_: (i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_b, 1), jnp.float32),
+                pltpu.VMEM((block_b, 1), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(n_items, qp, ip)
+    return out[:B, 0]
+
+
+# ---------------------------------------------------------------------------
+# backward kernels
+# ---------------------------------------------------------------------------
+def _bwd_dq_kernel(n_items_ref, q_ref, it_ref, z_ref, g_ref, dq_ref, acc_ref):
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    s = jnp.dot(q_ref[:], it_ref[:].T, preferred_element_type=jnp.float32)
+    ct = s.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k * ct
+    p = jnp.where(col < n_items_ref[0], jnp.exp(s - z_ref[:]), 0.0)
+    acc_ref[:] = acc_ref[:] + jnp.dot(p, it_ref[:],
+                                      preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _done():
+        dq_ref[:] = g_ref[:] * acc_ref[:]
+
+
+def _bwd_ditems_kernel(n_items_ref, q_ref, it_ref, z_ref, g_ref, dit_ref, acc_ref):
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    s = jnp.dot(q_ref[:], it_ref[:].T, preferred_element_type=jnp.float32)
+    k = pl.program_id(0)
+    ct = s.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k * ct
+    p = jnp.where(col < n_items_ref[0], jnp.exp(s - z_ref[:]), 0.0)
+    gp = p * g_ref[:]
+    acc_ref[:] = acc_ref[:] + jnp.dot(gp.T, q_ref[:],
+                                      preferred_element_type=jnp.float32)
+
+    @pl.when(i == ni - 1)
+    def _done():
+        dit_ref[:] = acc_ref[:]
+
+
+def _bwd_pallas(query, items, logz, g, block_b, block_n):
+    B, D = query.shape
+    N = items.shape[0]
+    Bp, Np = _round_up(B, block_b), _round_up(N, block_n)
+    qp = jnp.pad(query, ((0, Bp - B), (0, 0)))
+    ip = jnp.pad(items, ((0, Np - N), (0, 0)))
+    # pad logz with +inf so padded query rows contribute p=0
+    zp = jnp.pad(logz[:, None], ((0, Bp - B), (0, 0)), constant_values=jnp.inf)
+    gp = jnp.pad(g[:, None], ((0, Bp - B), (0, 0)))
+    n_items = jnp.asarray([N], jnp.int32)
+
+    dq = pl.pallas_call(
+        _bwd_dq_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Bp // block_b, Np // block_n),
+            in_specs=[
+                pl.BlockSpec((block_b, D), lambda i, k, *_: (i, 0)),
+                pl.BlockSpec((block_n, D), lambda i, k, *_: (k, 0)),
+                pl.BlockSpec((block_b, 1), lambda i, k, *_: (i, 0)),
+                pl.BlockSpec((block_b, 1), lambda i, k, *_: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((block_b, D), lambda i, k, *_: (i, 0)),
+            scratch_shapes=[pltpu.VMEM((block_b, D), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Bp, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(n_items, qp, ip, zp, gp)[:B]
+
+    dit = pl.pallas_call(
+        _bwd_ditems_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Np // block_n, Bp // block_b),
+            in_specs=[
+                pl.BlockSpec((block_b, D), lambda k, i, *_: (i, 0)),
+                pl.BlockSpec((block_n, D), lambda k, i, *_: (k, 0)),
+                pl.BlockSpec((block_b, 1), lambda k, i, *_: (i, 0)),
+                pl.BlockSpec((block_b, 1), lambda k, i, *_: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((block_n, D), lambda k, i, *_: (k, 0)),
+            scratch_shapes=[pltpu.VMEM((block_n, D), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Np, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(n_items, qp, ip, zp, gp)[:N]
+    return dq, dit
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP
+# ---------------------------------------------------------------------------
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def catalog_logsumexp(query: jax.Array, items: jax.Array,
+                      block_b: int = 256, block_n: int = 2048) -> jax.Array:
+    """logsumexp(query @ items.T, axis=-1) without materializing [B, N]."""
+    return _fwd_pallas(query, items, block_b, block_n)
+
+
+def _clse_fwd(query, items, block_b, block_n):
+    logz = _fwd_pallas(query, items, block_b, block_n)
+    return logz, (query, items, logz)
+
+
+def _clse_bwd(block_b, block_n, res, g):
+    query, items, logz = res
+    dq, dit = _bwd_pallas(query, items, logz, g, block_b, block_n)
+    return dq, dit
+
+
+catalog_logsumexp.defvjp(_clse_fwd, _clse_bwd)
+
+
+def supports_pallas() -> bool:
+    return jax.default_backend() == "tpu"
