@@ -239,6 +239,159 @@ class AFMLayer(nn.Module):
         return nn.Dense(1, use_bias=False, name="p")(out).squeeze(-1)
 
 
+class FieldAwareFMLayer(nn.Module):
+    """FFM interaction: each field keeps one latent vector per other field;
+    score = sum_{i<j} <v_{i,j}, v_{j,i}> (reference ctr.py:991)."""
+    num_fields: int
+
+    def __call__(self, inputs):
+        # inputs: [B, F, (F-1)*D] -> [B, F, F-1, D]
+        B, F = inputs.shape[0], self.num_fields
+        emb = inputs.reshape(B, F, F - 1, -1)
+        rows, cols = jnp.triu_indices(F, k=1)
+        # v_{i, j} lives at slot (j-1) of field i when j > i; v_{j, i} at slot i
+        a = emb[:, rows, cols - 1, :]
+        b = emb[:, cols, rows, :]
+        return (a * b).sum(axis=(-1, -2))
+
+
+class FMFMLayer(nn.Module):
+    """Field-matrixed FM: pairwise <W_ij e_i, e_j> (FmFM, reference ctr.py)."""
+    num_fields: int
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, inputs):
+        F = self.num_fields
+        rows, cols = jnp.triu_indices(F, k=1)
+        W = self.param("field_weight", nn.initializers.normal(1.0),
+                       (len(rows), self.embed_dim, self.embed_dim))
+        e0 = inputs[:, rows, :]
+        e1 = inputs[:, cols, :]
+        proj = jnp.einsum("bpd,pde->bpe", e0, W)
+        return (proj * e1).sum(axis=(-1, -2))
+
+
+class SqueezeExcitation(nn.Module):
+    """SENET field reweighting (FiBiNET, reference ctr.py:750)."""
+    num_fields: int
+    reduction_ratio: float
+    activation: str = "relu"
+    pool: str = "avg"
+
+    @nn.compact
+    def __call__(self, inputs):
+        z = inputs.mean(-1) if self.pool == "avg" else inputs.max(-1)
+        reduced = max(1, int(self.num_fields // self.reduction_ratio))
+        act = get_act(self.activation)
+        a = act(nn.Dense(reduced, use_bias=False, name="squeeze")(z))
+        a = act(nn.Dense(self.num_fields, use_bias=False, name="excite")(a))
+        return inputs * a[..., None]
+
+
+class BilinearInteraction(nn.Module):
+    """Bilinear field interaction (FiBiNET, reference ctr.py:788)."""
+    num_fields: int
+    embed_dim: int
+    bilinear_type: str = "interaction"
+
+    @nn.compact
+    def __call__(self, inputs):
+        F, D = self.num_fields, self.embed_dim
+        rows, cols = jnp.triu_indices(F, k=1)
+        bt = self.bilinear_type.lower()
+        if bt == "all":
+            W = self.param("weight", nn.initializers.normal(1.0), (D, D))
+            hidden = inputs @ W
+            out = hidden[:, rows, :] * inputs[:, cols, :]
+        elif bt == "each":
+            W = self.param("weight", nn.initializers.normal(1.0), (F, D, D))
+            hidden = jnp.einsum("bfd,fde->bfe", inputs, W)
+            out = hidden[:, rows, :] * inputs[:, cols, :]
+        else:  # interaction
+            W = self.param("weight", nn.initializers.normal(1.0),
+                           (len(rows), D, D))
+            e0 = inputs[:, rows, :]
+            out = jnp.einsum("bpd,pde->bpe", e0, W) * inputs[:, cols, :]
+        return out                                             # [B, P, D]
+
+
+class MaskBlock(nn.Module):
+    """Instance-guided mask block (MaskNet, reference ctr.py:828)."""
+    input_dim: int
+    hidden_dim: int
+    output_dim: int
+    reduction_ratio: float = 1.0
+    activation: str = "relu"
+    dropout: float = 0.0
+    layer_norm: bool = True
+
+    @nn.compact
+    def __call__(self, v_emb, v, training: bool = False):
+        h = jax.nn.relu(nn.Dense(int(self.hidden_dim * self.reduction_ratio),
+                                 name="mask_1")(v_emb))
+        mask = nn.Dense(self.hidden_dim, name="mask_2")(h)
+        out = nn.Dense(self.output_dim, use_bias=False, name="hidden")(mask * v)
+        if self.layer_norm:
+            out = nn.LayerNorm(name="ln")(out)
+        out = get_act(self.activation)(out)
+        if self.dropout > 0:
+            out = nn.Dropout(self.dropout, deterministic=not training)(out)
+        return out
+
+
+class OperationAwareFMLayer(nn.Module):
+    """ONN interaction (reference ctr.py:964): per-field operation-aware copies;
+    output = [diag copies ; pairwise <v_i^(j), v_j^(i)>]."""
+    num_fields: int
+
+    def __call__(self, inputs):
+        B, F = inputs.shape[0], self.num_fields
+        fw = inputs.reshape(B, F, F, -1)                    # [B, F, F, D]
+        diag = fw[:, jnp.arange(F), jnp.arange(F), :].reshape(B, -1)
+        inner = (fw.transpose(0, 2, 1, 3) * fw).sum(-1)     # [B, F, F]
+        rows, cols = jnp.triu_indices(F, k=1)
+        ffm_out = inner[:, rows, cols]
+        return jnp.concatenate([diag, ffm_out], axis=1)
+
+
+class HolographicFMLayer(nn.Module):
+    """HFM interaction (reference ctr.py:1312): circular correlation /
+    convolution of field pairs."""
+    num_fields: int
+    op: str = "circular_correlation"
+
+    def __call__(self, inputs):
+        F = self.num_fields
+        rows, cols = jnp.triu_indices(F, k=1)
+        a, b = inputs[:, rows, :], inputs[:, cols, :]
+        fa, fb = jnp.fft.rfft(a, axis=-1), jnp.fft.rfft(b, axis=-1)
+        if self.op == "circular_correlation":
+            out = jnp.fft.irfft(jnp.conj(fa) * fb, n=a.shape[-1], axis=-1)
+        elif self.op == "circular_convolution":
+            out = jnp.fft.irfft(fa * fb, n=a.shape[-1], axis=-1)
+        else:  # elementwise product
+            out = a * b
+        return out                                           # [B, P, D]
+
+
+class LogTransformLayer(nn.Module):
+    """AFN logarithmic transform (reference ctr.py:540)."""
+    num_fields: int
+    hidden_size: int
+    clamp_min: float = 1e-5
+
+    @nn.compact
+    def __call__(self, inputs):
+        from .layers import SimpleBatchNorm
+        emb = jnp.maximum(jnp.abs(inputs), self.clamp_min)
+        log_emb = SimpleBatchNorm(name="log_bn")(jnp.log(emb))
+        log_out = nn.Dense(self.hidden_size, name="linear")(
+            log_emb.transpose(0, 2, 1)).transpose(0, 2, 1)
+        exp_out = SimpleBatchNorm(name="exp_bn")(jnp.exp(log_out))
+        return exp_out.reshape(exp_out.shape[0], -1)
+
+
 class SelfAttentionInteractingLayer(nn.Module):
     """AutoInt block: multi-head self-attention over field embeddings."""
     embed_dim: int
