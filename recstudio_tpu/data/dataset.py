@@ -175,6 +175,9 @@ class TripletDataset:
         url = self.config.get("url") or ""
         if url.startswith("recstudio:"):
             return os.path.join(_PKG_DIR, url.split(":", 1)[1])
+        if url.startswith(("http://", "https://")):
+            from ..utils.download import download_dataset
+            return download_dataset(url, self.name)
         if url and os.path.isdir(url):
             return url
         # fallback: bundled demo folder of the same name

@@ -344,13 +344,26 @@ class Recommender:
     def fit_loop(self, val_data=None):
         nepoch = 0
         stop = False
+        prof_dir = self.config["train"].get("profiler_path")
+        prof_epochs = int(self.config["train"].get("profiler_epochs", 2))
         try:
             for nepoch in range(self.config["train"]["epochs"]):
+                if prof_dir and nepoch == 1:  # skip the compile epoch
+                    jax.profiler.start_trace(prof_dir)
                 t0 = time.time()
                 self._epoch_refresh(nepoch)
                 training_output = self.training_epoch(nepoch)
                 t1 = time.time()
+                if prof_dir and nepoch == prof_epochs:
+                    jax.profiler.stop_trace()
+                    self.logger.info(f"profiler trace written to {prof_dir}")
+                    prof_dir = None
                 metrics: Dict[str, Any] = {"train_loss": training_output}
+                if nepoch > 0:
+                    n_ex = getattr(self, "_steps_per_epoch", 0) * \
+                        self.config["train"].get("batch_size", 0)
+                    if n_ex and (t1 - t0) > 0:
+                        self.logged_metrics["examples_per_s"] = n_ex / (t1 - t0)
                 if self.val_check and (nepoch % self.config["eval"].get("val_n_epoch", 1) == 0):
                     val_metrics = self.validation_epoch(nepoch, val_data)
                     metrics.update(val_metrics)

@@ -66,7 +66,7 @@ class NGCF(BaseGraphRetriever):
                 keep = jax.random.bernoulli(jax.random.fold_in(rng, i), 1 - p, h.shape)
                 h = jnp.where(keep, h / (1 - p), 0.0)
             x = h
-            outs.append(x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-12))
+            outs.append(x * jax.lax.rsqrt(jnp.sum(x * x, -1, keepdims=True) + 1e-12))
         out = jnp.concatenate(outs, axis=-1)
         return out[: self.num_users], out[self.num_users:]
 

@@ -49,15 +49,15 @@ class TransETower:
         t = self.project(params, tails, relations)
         r = self.embed_rel(params, relations)
         if self.normalize:
-            h = h / (jnp.linalg.norm(h, axis=-1, keepdims=True) + 1e-12)
-            r = r / (jnp.linalg.norm(r, axis=-1, keepdims=True) + 1e-12)
-            t = t / (jnp.linalg.norm(t, axis=-1, keepdims=True) + 1e-12)
+            nrm = lambda x: x * jax.lax.rsqrt(jnp.sum(x * x, -1, keepdims=True) + 1e-12)
+            h, r, t = nrm(h), nrm(r), nrm(t)
         pos_score = self.score_func(h + r, t)
         log_pos, neg_t, log_neg = self.sampler((), rng, h + r, neg_count,
                                                pos_items=tails)
         neg_t_e = self.project(params, neg_t, relations)
         if self.normalize:
-            neg_t_e = neg_t_e / (jnp.linalg.norm(neg_t_e, axis=-1, keepdims=True) + 1e-12)
+            neg_t_e = neg_t_e * jax.lax.rsqrt(
+                jnp.sum(neg_t_e * neg_t_e, -1, keepdims=True) + 1e-12)
         neg_score = self.score_func(h + r, neg_t_e)
         return {"pos_score": pos_score, "log_pos_prob": log_pos,
                 "neg_score": neg_score, "log_neg_prob": log_neg}

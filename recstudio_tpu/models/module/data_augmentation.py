@@ -15,7 +15,8 @@ import jax.numpy as jnp
 
 
 def _normalize(x, eps=1e-12):
-    return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + eps)
+    # rsqrt form: zero rows get zero output with zero (not NaN) gradient
+    return x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps)
 
 
 def info_nce(rep_i: jax.Array, rep_j: jax.Array, temperature: float = 1.0,
@@ -79,6 +80,20 @@ def item_mask(rng, seq, seqlen, gamma: float = 0.3, mask_id: int = 0):
     u = jax.random.uniform(rng, seq.shape)
     masked = (u < gamma) & real
     return jnp.where(masked, mask_id, seq), seqlen
+
+
+def item_random(rng, seq, seqlen, mask_id: int = 0,
+                eta: float = 0.6, gamma: float = 0.3, beta: float = 0.6):
+    """Pick crop / mask / reorder uniformly per sample (reference :89)."""
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    crop_s, crop_l = item_crop(k1, seq, seqlen, eta)
+    mask_s, mask_l = item_mask(k2, seq, seqlen, gamma, mask_id)
+    reord_s, reord_l = item_reorder(k3, seq, seqlen, beta)
+    choice = jax.random.randint(k4, (seq.shape[0], 1), 0, 3)
+    out_seq = jnp.where(choice == 0, crop_s, jnp.where(choice == 1, mask_s, reord_s))
+    c = choice[:, 0]
+    out_len = jnp.where(c == 0, crop_l, jnp.where(c == 1, mask_l, reord_l))
+    return out_seq, out_len
 
 
 def item_reorder(rng, seq, seqlen, beta: float = 0.6):
