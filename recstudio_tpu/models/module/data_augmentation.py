@@ -96,6 +96,49 @@ def item_random(rng, seq, seqlen, mask_id: int = 0,
     return out_seq, out_len
 
 
+def item_substitute(rng, seq, seqlen, top1_sim, rate: float = 0.1):
+    """Replace a `rate` fraction of real positions with their most-similar
+    item (reference :99). ``top1_sim``: [num_items] most-similar-item table."""
+    L = seq.shape[1]
+    pos = jnp.arange(L)[None, :]
+    real = pos < seqlen[:, None]
+    u = jax.random.uniform(rng, seq.shape)
+    # guarantee >= 1 substitution: always include the argmin-u real position
+    forced = u + (~real) * 2.0
+    forced_idx = jnp.argmin(forced, axis=1)
+    subs = ((u < rate) & real)
+    subs = subs.at[jnp.arange(seq.shape[0]), forced_idx].set(True)
+    return jnp.where(subs & real, top1_sim[seq], seq), seqlen
+
+
+def item_insert(rng, seq, seqlen, top1_sim, rate: float = 0.4):
+    """Insert the most-similar item before a `rate` fraction of positions
+    (reference :146), keeping the most recent window when the result exceeds
+    the static length."""
+    B, L = seq.shape
+    pos = jnp.arange(L)[None, :]
+    real = pos < seqlen[:, None]
+    u = jax.random.uniform(rng, seq.shape)
+    forced = u + (~real) * 2.0
+    forced_idx = jnp.argmin(forced, axis=1)
+    ins = ((u < rate) & real)
+    ins = ins.at[jnp.arange(B), forced_idx].set(True)
+    # doubled layout: [sim_0, s_0, sim_1, s_1, ...]
+    doubled = jnp.zeros((B, 2 * L), seq.dtype)
+    doubled = doubled.at[:, 1::2].set(jnp.where(real, seq, 0))
+    doubled = doubled.at[:, 0::2].set(jnp.where(ins, top1_sim[seq], 0))
+    valid = doubled != 0
+    # left-compact preserving order
+    keys = jnp.where(valid, jnp.arange(2 * L)[None, :], 2 * L + 1)
+    order = jnp.argsort(keys, axis=1)
+    compact = jnp.take_along_axis(doubled, order, axis=1)
+    new_len_full = seqlen + ins.sum(1)
+    shift = jnp.maximum(new_len_full - L, 0)               # keep the last L
+    gather = jnp.minimum(shift[:, None] + pos, 2 * L - 1)
+    out = jnp.take_along_axis(compact, gather, axis=1)[:, :L]
+    return out, jnp.minimum(new_len_full, L)
+
+
 def item_reorder(rng, seq, seqlen, beta: float = 0.6):
     """Shuffle a random contiguous window of ratio beta (reference :66)."""
     B, L = seq.shape
