@@ -1,0 +1,127 @@
+"""Dataset ETL and split-semantics unit tests."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from recstudio_tpu.data import (ALSDataset, SeqDataset, SeqToSeqDataset,
+                                TripletDataset, UserDataset)
+
+
+@pytest.fixture(scope="module")
+def tiny_config(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tiny")
+    rows = []
+    # 3 users with 6/5/4 interactions, increasing timestamps
+    for u, n in [("u1", 6), ("u2", 5), ("u3", 4)]:
+        for i in range(n):
+            rows.append((u, f"i{i}", 5.0, float(i)))
+    pd.DataFrame(rows, columns=["user_id", "item_id", "rating", "timestamp"]) \
+        .to_csv(d / "tiny.inter", sep="\t", index=False)
+    return {
+        "url": str(d),
+        "inter_feat_name": "tiny.inter",
+        "inter_feat_field": ["user_id:token", "item_id:token", "rating:float",
+                             "timestamp:float"],
+        "inter_feat_header": 0,
+        "user_feat_name": None, "item_feat_name": None,
+        "network_feat_name": None, "low_rating_thres": None,
+    }
+
+
+def test_pad_token_reserved(tiny_config):
+    ds = TripletDataset("tiny", config=tiny_config)
+    assert ds.field2tokens["user_id"][0] == "[PAD]"
+    assert ds.field2tokens["item_id"][0] == "[PAD]"
+    assert ds.num_users == 4 and ds.num_items == 7
+
+
+def test_ratio_split_counts(tiny_config):
+    np.random.seed(0)
+    ds = TripletDataset("tiny", config=tiny_config)
+    trn, val, tst = ds.build(split_ratio=[0.8, 0.1, 0.1])
+    # reference rounding: val/test get at least 1 when the user has >1 items
+    assert val.data_index.shape[0] == 3 and tst.data_index.shape[0] == 3
+    total = len(trn.data_index) + int((val.data_index[:, 2] - val.data_index[:, 1]).sum()) \
+        + int((tst.data_index[:, 2] - tst.data_index[:, 1]).sum())
+    assert total == 15
+
+
+def test_user_hist_merging(tiny_config):
+    np.random.seed(0)
+    ds = TripletDataset("tiny", config=tiny_config)
+    trn, val, tst = ds.build(split_ratio=[0.8, 0.1, 0.1])
+    # test-split hist = train hist + val hist
+    assert (tst.user_count >= val.user_count).all()
+    assert int(tst.user_count.sum()) == int(val.user_count.sum()) \
+        + int((val.data_index[:, 2] - val.data_index[:, 1]).sum())
+
+
+def test_leave_one_out_seq(tiny_config):
+    cfg = dict(tiny_config, max_seq_len=4)
+    ds = SeqDataset("tiny", config=cfg)
+    trn, val, tst = ds.build(split_ratio=2)
+    # each user contributes exactly one val and one test window
+    assert val.data_index.shape[0] == 3 and tst.data_index.shape[0] == 3
+    # windows never exceed max_seq_len
+    assert int((trn.data_index[:, 2] - trn.data_index[:, 1]).max()) <= 4
+    batch = next(iter(trn.train_loader(batch_size=4, shuffle=False)))
+    assert batch["in_item_id"].shape[1] == 4
+    assert (batch["seqlen"] >= 1).all()
+
+
+def test_seq2seq_targets_are_shifted(tiny_config):
+    cfg = dict(tiny_config, max_seq_len=4)
+    ds = SeqToSeqDataset("tiny", config=cfg)
+    trn, val, tst = ds.build(split_ratio=2)
+    batch = next(iter(trn.train_loader(batch_size=3, shuffle=False)))
+    src, tgt, lens = batch["in_item_id"], batch["item_id"], batch["seqlen"]
+    for b in range(src.shape[0]):
+        L = lens[b]
+        assert (src[b, 1:L] == tgt[b, : L - 1]).all()
+
+
+def test_user_dataset_separates_history_and_targets(tiny_config):
+    np.random.seed(0)
+    ds = UserDataset("tiny", config=tiny_config)
+    trn, val, tst = ds.build(split_ratio=[0.8, 0.1, 0.1])
+    val.use_field = {"user_id", "item_id", "rating"}
+    batch = next(iter(val.eval_loader(batch_size=3)))
+    # in_ fields are the training history, targets are held-out items
+    hist = batch["in_item_id"]
+    tgt = batch["item_id"]
+    for b in range(min(3, int(batch["_size"]))):
+        real_t = tgt[b][tgt[b] > 0]
+        assert not np.isin(real_t, hist[b]).any()
+
+
+def test_als_dataset_transpose(tiny_config):
+    np.random.seed(0)
+    ds = ALSDataset("tiny", config=tiny_config)
+    trn, val, tst = ds.build(split_ratio=[0.8, 0.1, 0.1])
+    t = trn.transpose()
+    b_u = next(iter(trn.train_loader(batch_size=3, shuffle=False)))
+    b_i = next(iter(t.train_loader(batch_size=3, shuffle=False)))
+    assert b_u["user_id"].ndim == 1 and b_u["item_id"].ndim == 2
+    assert b_i["item_id"].ndim == 1 and b_i["user_id"].ndim == 2
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from recstudio_tpu.utils import get_model
+    np.random.seed(42)
+    model_class, conf = get_model("BPR")
+    conf["train"]["epochs"] = 1
+    ds = TripletDataset("ml-100k")
+    trn, val, tst = ds.build(**conf["data"])
+    m = model_class(conf)
+    m.fit(trn, None, run_mode="light")
+    path = str(tmp_path / "ckpt.pkl")
+    m.save_checkpoint(path, epoch=1)
+    before = jnp.asarray(m.params["item_encoder"]["embedding"]).copy()
+    m.params = jax.tree_util.tree_map(lambda x: x * 0, m.params)
+    m.load_checkpoint(path)
+    after = jnp.asarray(m.params["item_encoder"]["embedding"])
+    np.testing.assert_allclose(np.asarray(before), np.asarray(after))
+
+
+import jax  # noqa: E402  (used in checkpoint test)
