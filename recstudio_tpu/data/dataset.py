@@ -280,17 +280,15 @@ class TripletDataset:
             return
         if min_user_inter <= 0 and min_item_inter <= 0:
             return
-        # alternating k-core until fixpoint
-        df = self.inter_feat
-        while True:
-            item_cnt = df.groupby(self.fiid)[self.fiid].transform("size")
-            df2 = df[item_cnt >= min_item_inter] if min_item_inter > 0 else df
-            user_cnt = df2.groupby(self.fuid)[self.fuid].transform("size")
-            df3 = df2[user_cnt >= min_user_inter] if min_user_inter > 0 else df2
-            if len(df3) == len(df):
-                break
-            df = df3
-        self.inter_feat = df.reset_index(drop=True)
+        # alternating k-core until fixpoint (native C++ kernel when available,
+        # replacing the reference's scipy CSC rebuild loop — dataset.py:528-573)
+        from ..native import kcore_filter
+        ucodes, _ = pd.factorize(self.inter_feat[self.fuid])
+        icodes, _ = pd.factorize(self.inter_feat[self.fiid])
+        keep_mask = kcore_filter(ucodes, icodes, int(ucodes.max()) + 1,
+                                 int(icodes.max()) + 1,
+                                 min_user_inter, min_item_inter)
+        self.inter_feat = self.inter_feat[keep_mask].reset_index(drop=True)
         keep_users = set(self.inter_feat[self.fuid].unique())
         keep_items = set(self.inter_feat[self.fiid].unique())
         if self.user_feat is not None:

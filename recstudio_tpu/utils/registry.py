@@ -16,6 +16,9 @@ from .config import deep_update, get_base_model_config, load_yaml, PKG_ROOT
 
 MODEL_FAMILIES = ("mf", "seq", "ae", "fm", "graph", "kg", "multitask", "debias")
 
+# helper modules living inside family packages that are not models
+_NON_MODEL_MODULES = {"base", "kglearning", "recommender_helpers"}
+
 
 def _family_dir(family: str) -> str:
     return os.path.join(PKG_ROOT, "models", family)
@@ -29,7 +32,7 @@ def list_models() -> Dict[str, str]:
         if not os.path.isdir(d):
             continue
         for m in pkgutil.iter_modules([d]):
-            if not m.ispkg:
+            if not m.ispkg and m.name.lower() not in _NON_MODEL_MODULES:
                 out[m.name.lower()] = family
     return out
 
