@@ -106,3 +106,20 @@ def test_accelerator_dp_training():
                                               "topk": 20}},
                        verbose=False)
     assert np.isfinite(res["ndcg@5"])
+
+
+def test_sharded_mips_topk_exact(mesh8):
+    """Row-sharded exact top-k matches the single-device result."""
+    from jax.experimental.shard_map import shard_map
+    from recstudio_tpu.ops.topk import sharded_mips_topk
+    B, N, D, K = 16, 512, 32, 10
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, D))
+    items = jax.random.normal(jax.random.PRNGKey(1), (N, D))
+
+    fn = shard_map(lambda qq, it: sharded_mips_topk(qq, it, K, "mp"),
+                   mesh=mesh8, in_specs=(P(), P("mp", None)),
+                   out_specs=(P(), P()), check_rep=False)
+    v, i = fn(q, items)
+    v_ref, i_ref = jax.lax.top_k(q @ items.T, K)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
