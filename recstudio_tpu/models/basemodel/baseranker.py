@@ -29,7 +29,19 @@ class BaseRanker(Recommender):
 
     def _set_data_field(self, data):
         # all declared fields participate as features (reference baseranker.py:52-60)
-        data.use_field = set(data.field2type.keys())
+        if self.retriever is not None:
+            # two-stage mode: candidates are re-scored at eval time, where only
+            # user/item entity features exist (no interaction context like
+            # timestamps), so restrict features to id + entity fields
+            ratings = data.frating if isinstance(data.frating, list) else [data.frating]
+            fields = {data.fuid, data.fiid, *ratings}
+            if data.user_feat is not None:
+                fields |= set(data.user_feat.fields)
+            if data.item_feat is not None:
+                fields |= set(data.item_feat.fields)
+            data.use_field = fields & set(data.field2type.keys())
+        else:
+            data.use_field = set(data.field2type.keys())
 
     def _get_retriever(self, train_data):
         return None
@@ -42,7 +54,40 @@ class BaseRanker(Recommender):
         if self.retriever is None:
             self.logger.info("no retriever attached: topk metrics unsupported, "
                              "using pointwise evaluation")
+        else:
+            # cascaded retriever (reference baseranker.py:89-99): it serves as
+            # the negative sampler and the stage-1 candidate generator. Its
+            # parameters live in ``states`` (not ``params``), mirroring the
+            # reference's detached sampling probs (baseretriever.py:362-364):
+            # the ranker loss never backprops into the retriever.
+            if self.retriever.params is None:
+                raise ValueError(
+                    "attached retriever must be fitted (or at least "
+                    "initialized via fit) before the ranker")
+            self.states["retriever"] = {
+                "params": self.retriever.params,
+                "states": dict(self.retriever.states),
+            }
         self.net = self._get_score_net(train_data)
+
+    def _epoch_refresh(self, nepoch: int) -> None:
+        if self.retriever is None:
+            return
+        # refresh the retriever's item-vector cache (and stateful sampler
+        # index) so sampling/two-stage topk see current catalog encodings
+        # (reference recommender.py:561-570 applied to the cascaded stage)
+        rp = self.states["retriever"]["params"]
+        if not hasattr(self, "_retr_item_vec_fn"):
+            self._retr_item_vec_fn = jax.jit(self.retriever._compute_item_vector)
+        item_vector = self._retr_item_vec_fn(rp)
+        rs = dict(self.states["retriever"]["states"])
+        rs["item_vector"] = item_vector
+        if self.retriever._sampler_is_stateful():
+            sampler_state = self.retriever.sampler.update(
+                self.next_rng(), item_vector)
+            if sampler_state != ():
+                rs["sampler"] = sampler_state
+        self.states["retriever"] = {"params": rp, "states": rs}
 
     # -- hooks ------------------------------------------------------------
     def _get_score_net(self, train_data):
@@ -56,12 +101,44 @@ class BaseRanker(Recommender):
         return self.net.init({"params": self.next_rng(), "dropout": self.next_rng()},
                              batch, training=False)
 
-    def score(self, params, batch, training: bool = False, rng=None):
+    def score(self, params, batch, training: bool = False, rng=None,
+              net_state=None):
         rngs = {"dropout": rng} if (rng is not None and training) else None
-        return self.net.apply({"params": params}, batch, training=training, rngs=rngs)
+        return self.net.apply({"params": params, **(net_state or {})}, batch,
+                              training=training, rngs=rngs)
+
+    def _calibration_forward(self, params, batch, net_state):
+        import flax
+        _, upd = self.net.apply({"params": params, **net_state}, batch,
+                                training=False, mutable=["batch_stats"])
+        return {**net_state, **flax.core.unfreeze(upd)}
 
     def forward(self, params, batch, rng, states, training: bool = True):
-        scores = self.score(params, batch, training=training, rng=rng)
+        if self.retriever is not None and training:
+            # positives-only dataset: the retriever samples negatives and the
+            # ranker scores them pairwise (reference baseranker.py:89-99)
+            assert self.neg_count, "`negative_count` required with a retriever"
+            assert not isinstance(self.frating, list), \
+                "multitask + retriever sampling unsupported"
+            rng_s, rng_d = jax.random.split(rng)
+            net_state = states.get("net")
+            pos_score = self.score(params, batch, training=training, rng=rng_d,
+                                   net_state=net_state)
+            retr = states["retriever"]
+            log_pos_prob, neg_ids, log_neg_prob = self.retriever.sampling(
+                retr["params"], batch, rng_s, retr["states"], self.neg_count,
+                method=self.config["train"].get("sampling_method", "none"),
+                excluding_hist=self.config["train"].get("excluding_hist", False))
+            neg_batch = self._multi_item_batch(batch, neg_ids)
+            neg_score = self.score(params, neg_batch, training=training, rng=rng_d,
+                                   net_state=net_state).reshape(-1, self.neg_count)
+            return {"pos_score": pos_score,
+                    "log_pos_prob": log_pos_prob,
+                    "neg_score": neg_score,
+                    "log_neg_prob": log_neg_prob,
+                    "label": batch[self.frating]}
+        scores = self.score(params, batch, training=training, rng=rng,
+                            net_state=states.get("net"))
         if isinstance(self.frating, list):  # multitask: one head per rating
             return {r: {"pos_score": scores[r], "label": batch[r]}
                     for r in self.frating}
@@ -74,10 +151,15 @@ class BaseRanker(Recommender):
             w = jax.nn.softmax(jnp.asarray(weights, jnp.float32))
             return sum(w[i] * self.loss_fn(out[r]["label"], out[r]["pos_score"])
                        for i, r in enumerate(self.frating))
+        if "neg_score" in out:  # pairwise (retriever-sampled) path
+            return self.loss_fn(**out)
         return self.loss_fn(out["label"], out["pos_score"])
 
     # -- evaluation ---------------------------------------------------------
     def _make_eval_step(self, metric_names, cutoffs):
+        rank_m = eval_mod.get_rank_metrics(metric_names)
+        if self.retriever is not None and rank_m:
+            return self._make_rank_eval_step(rank_m, cutoffs)
         pred_m = eval_mod.get_pred_metrics(metric_names)
         global_names = {m for m, _ in eval_mod.get_global_metrics(metric_names)}
         thres = self.config["eval"].get("binarized_prob_thres", 0.5)
@@ -90,7 +172,8 @@ class BaseRanker(Recommender):
             bs = batch["_size"]
             B = batch[ratings[0]].shape[0]
             valid = (jnp.arange(B) < bs).astype(jnp.float32)
-            scores_all = self.score(params, batch, training=False)
+            scores_all = self.score(params, batch, training=False,
+                                    net_state=states.get("net"))
             out = {}
             glob = {} if global_names else None
             for r in ratings:
@@ -114,6 +197,36 @@ class BaseRanker(Recommender):
             return out, bs.astype(jnp.float32), glob
         return step
 
+    def _make_rank_eval_step(self, rank_m, cutoffs):
+        """Two-stage topk evaluation: retrieve candidates, rerank, score rank
+        metrics exactly like a retriever (reference baseranker.py:204-218)."""
+        topk = self.config["eval"]["topk"]
+
+        @jax.jit
+        def step(params, batch, states):
+            bs = batch["_size"]
+            B = batch[self.frating].shape[0] if batch[self.frating].ndim else 1
+            valid = (jnp.arange(B) < bs).astype(jnp.float32)
+            _, topk_items = self.topk(params, batch, topk,
+                                      user_hist=batch.get("user_hist"),
+                                      states=states)
+            if batch[self.fiid].ndim > 1:
+                target_ids = batch[self.fiid]
+                pos_rating = batch[self.frating]
+            else:
+                target_ids = batch[self.fiid][:, None]
+                pos_rating = batch[self.frating][:, None]
+            label = jnp.any(
+                (topk_items[:, :, None] == target_ids[:, None, :])
+                & (target_ids[:, None, :] > 0), axis=-1)
+            out = {}
+            for cutoff in cutoffs:
+                for name, fn in rank_m:
+                    per_sample = fn(label, pos_rating, cutoff)
+                    out[f"{name}@{cutoff}"] = (per_sample * valid).sum()
+            return out, bs.astype(jnp.float32), None
+        return step
+
     def _global_metrics(self, metric_names, globs) -> Dict[str, float]:
         global_m = eval_mod.get_global_metrics(metric_names)
         if not global_m or globs is None:
@@ -133,13 +246,15 @@ class BaseRanker(Recommender):
     def topk(self, params, batch, k: int, user_hist=None, states=None):
         if self.retriever is None:
             raise NotImplementedError("topk requires a cascaded retriever")
+        states = states if states is not None else self.states
+        retr = states["retriever"]
         retr_k = self.retriever.config["eval"]["topk"]
-        assert k <= retr_k
+        assert k <= retr_k, "ranker topk must be <= the retriever's eval.topk"
         score_re, topk_items = self.retriever.topk(
-            self.retriever.params, batch, retr_k, user_hist,
-            states=self.retriever.states)
+            retr["params"], batch, retr_k, user_hist, states=retr["states"])
         multi = self._multi_item_batch(batch, topk_items)
-        scores = self.score(params, multi).reshape(topk_items.shape[0], -1)
+        scores = self.score(params, multi, net_state=states.get("net")) \
+            .reshape(topk_items.shape[0], -1)
         top_scores, idx = jax.lax.top_k(scores, k)
         return top_scores, jnp.take_along_axis(topk_items, idx, axis=-1)
 

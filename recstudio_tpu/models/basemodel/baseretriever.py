@@ -168,12 +168,38 @@ class BaseRetriever(Recommender):
     # ------------------------------------------------------------------
     # pure-function applications
     # ------------------------------------------------------------------
-    def _apply(self, params, method: str, *args, rng=None, training: bool = False):
+    def _apply(self, params, method: str, *args, rng=None, training: bool = False,
+               net_state=None):
         rngs = {"dropout": rng} if (rng is not None and training) else None
-        return self.net.apply({"params": params}, *args, training=training,
+        variables = {"params": params, **(net_state or {})}
+        return self.net.apply(variables, *args, training=training,
                               method=getattr(self.net, method), rngs=rngs) \
             if method in ("encode_query", "encode_item") else \
-            self.net.apply({"params": params}, *args, method=getattr(self.net, method))
+            self.net.apply(variables, *args, method=getattr(self.net, method))
+
+    def _calibration_forward(self, params, batch, net_state):
+        """Mutable pass through both towers (batch-norm recalibration)."""
+        import flax
+
+        def merge(ns, upd):
+            upd = flax.core.unfreeze(upd)
+            out = dict(ns)
+            for coll, tree in upd.items():
+                base = dict(out.get(coll, {}))
+                base.update(tree)
+                out[coll] = base
+            return out
+
+        variables = {"params": params, **net_state}
+        _, upd = self.net.apply(variables, self._get_query_feat(batch),
+                                training=False, method=self.net.encode_query,
+                                mutable=["batch_stats"])
+        net_state = merge(net_state, upd)
+        variables = {"params": params, **net_state}
+        _, upd = self.net.apply(variables, self._get_item_feat(batch),
+                                training=False, method=self.net.encode_item,
+                                mutable=["batch_stats"])
+        return merge(net_state, upd)
 
     def _init_variables(self, batch):
         q = self._get_query_feat(batch)
@@ -181,14 +207,23 @@ class BaseRetriever(Recommender):
         return self.net.init({"params": self.next_rng(), "dropout": self.next_rng()},
                              q, i, training=False)
 
-    def _compute_item_vector(self, params) -> jax.Array:
+    def _compute_item_vector(self, params, net_state=None) -> jax.Array:
         """Encode the full catalog (excluding [PAD] row)."""
         if self._item_feat_arrays is None:
             ids = jnp.arange(1, self.num_items)
             feat = ids
         else:
             feat = {f: arr[1:] for f, arr in self._item_feat_arrays.items()}
-        return self._apply(params, "encode_item", feat)
+        return self._apply(params, "encode_item", feat, net_state=net_state)
+
+    def _item_vectors(self, params, states) -> jax.Array:
+        """Catalog encoding that forwards net collections (batch_stats) to the
+        base implementation; model-specific overrides keep their (params)
+        signature."""
+        net = (states or {}).get("net") if isinstance(states, dict) else None
+        if net and type(self)._compute_item_vector is BaseRetriever._compute_item_vector:
+            return self._compute_item_vector(params, net)
+        return self._compute_item_vector(params)
 
     def _train_needs_item_vector(self) -> bool:
         """Whether the training path reads the cached item-vector states:
@@ -207,7 +242,10 @@ class BaseRetriever(Recommender):
         # reference's per-epoch _update_item_vector + sampler.update).
         if nepoch >= 0 and not (self._train_needs_item_vector() or self._sampler_is_stateful()):
             return
-        item_vector = jax.jit(self._compute_item_vector)(self.params)
+        if not hasattr(self, "_item_vec_fn"):
+            self._item_vec_fn = jax.jit(
+                lambda p, net: self._item_vectors(p, {"net": net} if net else {}))
+        item_vector = self._item_vec_fn(self.params, self.states.get("net"))
         self.states["item_vector"] = item_vector
         if self._sampler_is_stateful():
             sampler_state = self.sampler.update(self.next_rng(), item_vector)
@@ -222,12 +260,13 @@ class BaseRetriever(Recommender):
                 return_neg_item: bool = False, return_neg_id: bool = False,
                 training: bool = True) -> Dict[str, Any]:
         output: Dict[str, Any] = {}
+        net_state = states.get("net") if isinstance(states, dict) else None
         rng_q, rng_s = jax.random.split(rng)
         pos_item_feat = self._get_item_feat(batch)
         pos_vec = self._apply(params, "encode_item", pos_item_feat,
-                              rng=rng_q, training=training)
+                              rng=rng_q, training=training, net_state=net_state)
         query = self._apply(params, "encode_query", self._get_query_feat(batch),
-                            rng=rng_q, training=training)
+                            rng=rng_q, training=training, net_state=net_state)
         pos_score = self._apply(params, "score", query, pos_vec)
         if batch[self.fiid].ndim > 1:
             pos_score = jnp.where(batch[self.fiid] == 0, -jnp.inf, pos_score)
@@ -241,7 +280,7 @@ class BaseRetriever(Recommender):
                 method=self.config["train"].get("sampling_method", "none"),
                 query=jax.lax.stop_gradient(query))
             neg_vec = self._apply(params, "encode_item", self._get_item_feat(neg_ids),
-                                  rng=rng_q, training=training)
+                                  rng=rng_q, training=training, net_state=net_state)
             neg_score = self._apply(params, "score", query, neg_vec)
             output["score"] = {
                 "pos_score": pos_score,
@@ -256,7 +295,7 @@ class BaseRetriever(Recommender):
             output["score"] = {"pos_score": pos_score}
             if full_score:
                 # differentiable full-catalog scores (reference baseretriever.py:184)
-                item_vec = self._compute_item_vector(params)
+                item_vec = self._item_vectors(params, states)
                 output["score"]["all_score"] = self._apply(params, "score", query, item_vec)
 
         if return_query:
@@ -276,7 +315,8 @@ class BaseRetriever(Recommender):
         sampler_state = states.get("sampler", ())
         if query is None:
             query = jax.lax.stop_gradient(
-                self._apply(params, "encode_query", self._get_query_feat(batch)))
+                self._apply(params, "encode_query", self._get_query_feat(batch),
+                            net_state=states.get("net") if isinstance(states, dict) else None))
         item_vector = jax.lax.stop_gradient(states.get("item_vector"))
 
         if method == "none":
@@ -384,8 +424,9 @@ class BaseRetriever(Recommender):
         states = states if states is not None else self.states
         item_vector = states.get("item_vector")
         if item_vector is None:
-            item_vector = self._compute_item_vector(params)  # fused into caller's jit
-        query = self._apply(params, "encode_query", self._get_query_feat(batch))
+            item_vector = self._item_vectors(params, states)  # fused into caller's jit
+        query = self._apply(params, "encode_query", self._get_query_feat(batch),
+                            net_state=states.get("net"))
         scores = self._apply(params, "score", query, item_vector)
         score_k, topk_items = self._topk_from_scores(scores, k, user_hist)
         if return_query:
@@ -419,14 +460,15 @@ class BaseRetriever(Recommender):
     def _fused_softmax_step(self, params, batch, rng, states):
         from ...ops.softmax_z import catalog_logsumexp
         rng_q, _ = jax.random.split(rng)
+        net_state = states.get("net") if isinstance(states, dict) else None
         query = self._apply(params, "encode_query", self._get_query_feat(batch),
-                            rng=rng_q, training=True)
+                            rng=rng_q, training=True, net_state=net_state)
         pos_vec = self._apply(params, "encode_item", self._get_item_feat(batch),
-                              rng=rng_q, training=True)
+                              rng=rng_q, training=True, net_state=net_state)
         pos_score = self._apply(params, "score", query, pos_vec)
         if batch[self.fiid].ndim > 1:
             pos_score = jnp.where(batch[self.fiid] == 0, -jnp.inf, pos_score)
-        item_vec = self._compute_item_vector(params)
+        item_vec = self._item_vectors(params, states)
         d = query.shape[-1]
         logz = catalog_logsumexp(query.reshape(-1, d), item_vec) \
             .reshape(query.shape[:-1])

@@ -117,10 +117,19 @@ class Recommender:
     def _init_parameter(self, train_data):
         batch = self._example_batch(train_data)
         variables = self._init_variables(batch)
-        params = variables["params"] if "params" in variables else variables
+        if "params" in variables:
+            params = variables["params"]
+            aux = {k: v for k, v in variables.items() if k != "params"}
+        else:
+            params, aux = variables, {}
         method = self.config["train"].get("init_method") or "xavier_normal"
         init_range = self.config["train"].get("init_range", 0.02)
         self.params = init_parameters(params, self.next_rng(), method, init_range)
+        if aux:
+            # non-param flax collections (e.g. batch_stats): kept in states and
+            # recalibrated before evaluation (see _refresh_net_state)
+            import flax
+            self.states["net"] = flax.core.unfreeze(aux)
 
     def _init_variables(self, batch):
         raise NotImplementedError
@@ -144,7 +153,10 @@ class Recommender:
         elif name == "adamw":
             base = optax.adamw(lr, weight_decay=weight_decay or 0.01)
         elif name == "sparse_adam":
-            base = optax.adam(lr)
+            # torch SparseAdam equivalent: only touched embedding rows get
+            # moment updates (models/optim.py)
+            from ..optim import lazy_adam
+            base = lazy_adam(lr)
         else:
             raise ValueError(f"unknown learner {name}")
         clip = self.config["train"].get("grad_clip_norm")
@@ -190,6 +202,44 @@ class Recommender:
     def _epoch_refresh(self, nepoch: int) -> None:
         """Rebuild per-epoch states (item vectors / sampler indices)."""
         pass
+
+    # ------------------------------------------------------------------
+    # batch-norm population statistics (torch swa_utils.update_bn recipe):
+    # before evaluation, stream training batches through the net with
+    # mutable=["batch_stats"]; SimpleBatchNorm accumulates a cumulative
+    # average of batch means/vars under the CURRENT parameters, which eval
+    # applies then read (use_running_average semantics of torch BatchNorm).
+    # ------------------------------------------------------------------
+    def _calibration_forward(self, params, batch, net_state):
+        """One mutable forward pass; returns the updated net collections.
+        Overridden per base class (ranker: score net; retriever: towers)."""
+        return net_state
+
+    def _refresh_net_state(self, max_batches: int = 32) -> None:
+        net = self.states.get("net")
+        if not net or "batch_stats" not in net:
+            return
+        if not hasattr(self, "_calib_cache"):
+            loader = self._train_data.train_loader(
+                batch_size=int(self.config["train"]["batch_size"]), shuffle=False)
+            batches = [b for _, b in zip(range(max_batches), loader)]
+            stacked = {k: jnp.asarray(np.stack([b[k] for b in batches]))
+                       for k in batches[0]}
+
+            def calib(params, net_state, stacked):
+                reset = dict(net_state)
+                reset["batch_stats"] = jax.tree_util.tree_map(
+                    jnp.zeros_like, net_state["batch_stats"])
+
+                def body(ns, batch):
+                    return self._calibration_forward(params, batch, ns), None
+
+                out, _ = jax.lax.scan(body, reset, stacked)
+                return out
+
+            self._calib_cache = (stacked, jax.jit(calib))
+        stacked, calib = self._calib_cache
+        self.states["net"] = calib(self.params, net, stacked)
 
     def _loss_and_aux(self, params, batch, rng, states):
         out = self.training_step(params, batch, rng, states)
@@ -365,6 +415,7 @@ class Recommender:
                     if n_ex and (t1 - t0) > 0:
                         self.logged_metrics["examples_per_s"] = n_ex / (t1 - t0)
                 if self.val_check and (nepoch % self.config["eval"].get("val_n_epoch", 1) == 0):
+                    self._refresh_net_state()
                     val_metrics = self.validation_epoch(nepoch, val_data)
                     metrics.update(val_metrics)
                 t2 = time.time()
@@ -429,6 +480,9 @@ class Recommender:
         test_data.use_field = self.fields
         if self.ckpt_path is not None and getattr(self.callback, "best_params", None) is not None:
             self.restore(self.callback.best_params)
+        elif not self.val_check:
+            # never calibrated during fit (no validation epochs)
+            self._refresh_net_state()
         self._epoch_refresh(-1)
         out = self._eval_epoch(test_data, self.config["eval"]["test_metrics"],
                                cutoffs=self._cutoffs())

@@ -29,7 +29,8 @@ class AFNNet(nn.Module):
     def __call__(self, batch, training: bool = False):
         F = len(self.field_specs)
         emb = Embeddings(self.field_specs, self.embed_dim, name="embedding")(batch)
-        log_out = LogTransformLayer(F, self.log_hidden_size, name="ltl")(emb)
+        log_out = LogTransformLayer(F, self.log_hidden_size, name="ltl")(
+            emb, training)
         afn = MLPModule([log_out.shape[-1], *self.mlp_layer, 1],
                         activation_func=self.activation, dropout=self.dropout,
                         last_activation=False, last_bn=False, name="afn_mlp")(

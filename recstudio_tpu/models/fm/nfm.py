@@ -26,7 +26,7 @@ class NFMNet(nn.Module):
         lr_score = LinearLayer(self.field_specs, name="linear")(batch)
         emb = Embeddings(self.field_specs, self.embed_dim, name="embedding")(batch)
         bi = FMLayer()(emb)                                     # [B, D]
-        bi = SimpleBatchNorm(name="bn")(bi)
+        bi = SimpleBatchNorm(name="bn")(bi, training)
         mlp_score = MLPModule([self.embed_dim, *self.mlp_layer, 1],
                               activation_func=self.activation, dropout=self.dropout,
                               batch_norm=self.batch_norm, last_activation=False,

@@ -382,13 +382,13 @@ class LogTransformLayer(nn.Module):
     clamp_min: float = 1e-5
 
     @nn.compact
-    def __call__(self, inputs):
+    def __call__(self, inputs, training: bool = False):
         from .layers import SimpleBatchNorm
         emb = jnp.maximum(jnp.abs(inputs), self.clamp_min)
-        log_emb = SimpleBatchNorm(name="log_bn")(jnp.log(emb))
+        log_emb = SimpleBatchNorm(name="log_bn")(jnp.log(emb), training)
         log_out = nn.Dense(self.hidden_size, name="linear")(
             log_emb.transpose(0, 2, 1)).transpose(0, 2, 1)
-        exp_out = SimpleBatchNorm(name="exp_bn")(jnp.exp(log_out))
+        exp_out = SimpleBatchNorm(name="exp_bn")(jnp.exp(log_out), training)
         return exp_out.reshape(exp_out.shape[0], -1)
 
 

@@ -16,24 +16,54 @@ import jax.numpy as jnp
 
 
 class SimpleBatchNorm(nn.Module):
-    """Stateless batch normalization: always normalizes with the statistics of
-    the current batch (no running averages — avoids threading a mutable
-    batch_stats collection through the jitted engine; eval batches are large
-    enough that this matches torch BatchNorm closely)."""
+    """Batch normalization with calibrated population statistics.
+
+    Training applies use the current batch's statistics (torch BatchNorm1d
+    train-mode semantics). Population statistics live in a ``batch_stats``
+    collection but are NOT updated through the jitted training loop; instead
+    the engine recalibrates them before evaluation by streaming training
+    batches through the net with ``mutable=["batch_stats"]`` (see
+    ``Recommender._refresh_net_state`` — the torch
+    ``swa_utils.update_bn`` recipe, which yields true population statistics
+    under the final parameters rather than a momentum EMA). During a
+    calibration pass (mutable collection, any ``training`` flag) the layer
+    accumulates a cumulative average of batch means/vars. At evaluation it
+    normalizes with the calibrated statistics, falling back to batch
+    statistics when never calibrated (count == 0)."""
     epsilon: float = 1e-5
     use_scale: bool = True
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, training: bool = False):
+        feat = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        count = self.variable("batch_stats", "count",
+                              lambda: jnp.zeros((), jnp.float32))
         axes = tuple(range(x.ndim - 1))
-        mean = x.mean(axes, keepdims=True)
-        var = x.var(axes, keepdims=True)
+        batch_mean = x.mean(axes)
+        batch_var = x.var(axes)
+        calibrating = (self.is_mutable_collection("batch_stats")
+                       and not self.is_initializing())
+        if calibrating:
+            k = count.value + 1.0
+            ra_mean.value = ra_mean.value + (batch_mean - ra_mean.value) / k
+            ra_var.value = ra_var.value + (batch_var - ra_var.value) / k
+            count.value = k
+        if training or calibrating:
+            mean, var = batch_mean, batch_var
+        else:
+            seen = count.value > 0
+            mean = jnp.where(seen, ra_mean.value, batch_mean)
+            var = jnp.where(seen, ra_var.value, batch_var)
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
         if self.use_scale:
-            y = y * self.param("scale", nn.initializers.ones, (x.shape[-1],))
+            y = y * self.param("scale", nn.initializers.ones, (feat,))
         if self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+            y = y + self.param("bias", nn.initializers.zeros, (feat,))
         return y
 
 
@@ -42,10 +72,10 @@ class Dice(nn.Module):
     emb_size: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, training: bool = False):
         alpha = self.param("alpha", nn.initializers.zeros, (self.emb_size,))
         norm = SimpleBatchNorm(epsilon=1e-8, use_scale=False, use_bias=False,
-                               name="bn")(x)
+                               name="bn")(x, training)
         p = jax.nn.sigmoid(norm)
         return x * p + alpha * x * (1.0 - p)
 
@@ -102,10 +132,10 @@ class MLPModule(nn.Module):
             x = nn.Dense(sizes[i + 1], use_bias=self.bias, name=f"dense_{i}")(x)
             is_last = i == n_layers - 1
             if self.batch_norm and (not is_last or self.last_bn):
-                x = SimpleBatchNorm(name=f"bn_{i}")(x)
+                x = SimpleBatchNorm(name=f"bn_{i}")(x, training)
             if not is_last or self.last_activation:
                 act = get_act(self.activation_func, sizes[i + 1])
-                x = act(x) if not isinstance(act, nn.Module) else act(x)
+                x = act(x, training) if isinstance(act, Dice) else act(x)
         return x
 
 
@@ -243,6 +273,15 @@ class MultiHeadAttention(nn.Module):
             .reshape(B, Lk, H, d // H).transpose(0, 2, 1, 3)
         v = nn.Dense(d, use_bias=self.bias, name="v_proj")(value) \
             .reshape(B, Lk, H, d // H).transpose(0, 2, 1, 3)
+        from ...ops import attention as attn_ops
+        use_fused = (attn_ops.supports_pallas() and not need_weight
+                     and not (self.dropout > 0 and training)
+                     and (attn_mask is None or attn_mask.ndim == 2))
+        if use_fused:
+            # fused QK^T -> masked softmax -> V Pallas kernel (ops/attention.py)
+            out = attn_ops.fused_mha(q, k, v, key_padding_mask, attn_mask) \
+                .transpose(0, 2, 1, 3).reshape(B, Lq, d)
+            return nn.Dense(d, use_bias=self.bias, name="out_proj")(out)
         logits = (q @ k.transpose(0, 1, 3, 2)) / jnp.sqrt(d / H)
         neg = jnp.finfo(logits.dtype).min
         if attn_mask is not None:

@@ -41,7 +41,7 @@ class DINNet(nn.Module):
             key_padding_mask=batch["in_" + self.fiid] == 0,
             softmax=False, training=training).squeeze(1)
         if self.batch_norm:
-            attn_seq = SimpleBatchNorm(name="norm_bn")(attn_seq)
+            attn_seq = SimpleBatchNorm(name="norm_bn")(attn_seq, training)
         attn_seq = nn.Dense(d, name="norm_fc")(attn_seq)
         cat = jnp.concatenate([attn_seq, target_emb, target_emb * attn_seq], -1)
         h = MLPModule([3 * d, *self.fc_mlp], activation_func=self.activation,

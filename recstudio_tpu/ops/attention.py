@@ -1,0 +1,150 @@
+"""Fused multi-head attention (Pallas TPU kernel).
+
+``fused_mha(q, k, v, key_padding_mask, attn_mask)`` computes
+``softmax(q k^T / sqrt(Dh) + masks) v`` for the transformer encoders of the
+seq family (SASRec/BERT4Rec/..., reference recstudio/model/seq/sasrec.py and
+module/layers.py MultiheadAttention use). RecSys sequences are short
+(max_seq_len 20–50, data/config/all.yaml), so instead of a tiled
+flash-attention the whole (Lq, Lk) score tile of one (batch, head) pair lives
+in VMEM and the kernel fuses the two matmuls with the masked softmax —
+eliminating the [B, H, L, L] logits round-trip through HBM that the unfused
+XLA path materializes.
+
+Masks follow torch.nn.MultiheadAttention semantics: boolean, True = disallow,
+applied additively with ``finfo.min`` (never -inf, so fully-masked rows stay
+finite). The op is differentiable via a custom VJP whose backward recomputes
+through the (mathematically identical) XLA reference — exact gradients with
+no hand-written backward kernel, cheap at these sequence lengths.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def supports_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# reference implementation (XLA) — also the backward path
+# ---------------------------------------------------------------------------
+def mha_xla(q: jax.Array, k: jax.Array, v: jax.Array,
+            pad_add: Optional[jax.Array], attn_add: Optional[jax.Array]
+            ) -> jax.Array:
+    """q,k,v: [B, H, L, Dh]; pad_add: [B, Lk] additive; attn_add: [Lq, Lk]."""
+    logits = (q @ k.transpose(0, 1, 3, 2)) / jnp.sqrt(q.shape[-1]).astype(q.dtype)
+    if attn_add is not None:
+        logits = logits + attn_add[None, None]
+    if pad_add is not None:
+        logits = logits + pad_add[:, None, None, :]
+    w = jax.nn.softmax(logits, axis=-1)
+    return w @ v
+
+
+# ---------------------------------------------------------------------------
+# kernel: one (batch, head) pair per grid cell, whole L×L tile in VMEM
+# ---------------------------------------------------------------------------
+def _mha_kernel(q_ref, k_ref, v_ref, pad_ref, attn_ref, out_ref, *, scale):
+    q = q_ref[0, 0]                                        # [Lq, Dp]
+    k = k_ref[0, 0]                                        # [Lk, Dp]
+    v = v_ref[0, 0]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    # add masks, clamped so a fully-masked row stays finite (no 0/0 NaN)
+    s = jnp.maximum(s + attn_ref[:] + pad_ref[0],
+                    jnp.float32(jnp.finfo(jnp.float32).min))
+    m = s.max(axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = p.sum(axis=-1, keepdims=True)
+    out_ref[0, 0] = jnp.dot(p, v, preferred_element_type=jnp.float32) / l
+
+
+def _mha_pallas(q, k, v, pad_add, attn_add):
+    B, H, Lq, Dh = q.shape
+    Lk = k.shape[2]
+    Lqp, Lkp, Dp = _round_up(Lq, 8), _round_up(Lk, 128), _round_up(Dh, 128)
+    NEG = float(jnp.finfo(jnp.float32).min)
+
+    qp = jnp.pad(q.astype(jnp.float32), ((0, 0), (0, 0), (0, Lqp - Lq), (0, Dp - Dh)))
+    kp = jnp.pad(k.astype(jnp.float32), ((0, 0), (0, 0), (0, Lkp - Lk), (0, Dp - Dh)))
+    vp = jnp.pad(v.astype(jnp.float32), ((0, 0), (0, 0), (0, Lkp - Lk), (0, Dp - Dh)))
+    if pad_add is None:
+        pad_add = jnp.zeros((B, Lk), jnp.float32)
+    # padded key columns must never receive attention mass
+    padp = jnp.pad(pad_add.astype(jnp.float32), ((0, 0), (0, Lkp - Lk)),
+                   constant_values=NEG)[:, None, :]   # [B, 1, Lkp]
+    if attn_add is None:
+        attn_add = jnp.zeros((Lq, Lk), jnp.float32)
+    attnp = jnp.pad(attn_add.astype(jnp.float32),
+                    ((0, Lqp - Lq), (0, Lkp - Lk)))
+
+    out = pl.pallas_call(
+        partial(_mha_kernel, scale=1.0 / (Dh ** 0.5)),
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec((1, 1, Lqp, Dp), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Lkp, Dp), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Lkp, Dp), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Lkp), lambda b, h: (b, 0, 0)),
+            pl.BlockSpec((Lqp, Lkp), lambda b, h: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Lqp, Dp), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, Lqp, Dp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=_interpret(),
+    )(qp, kp, vp, padp, attnp)
+    return out[:, :, :Lq, :Dh].astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP (backward through the XLA reference)
+# ---------------------------------------------------------------------------
+@jax.custom_vjp
+def _fused_mha_core(q, k, v, pad_add, attn_add):
+    return _mha_pallas(q, k, v, pad_add, attn_add)
+
+
+def _fwd(q, k, v, pad_add, attn_add):
+    return _mha_pallas(q, k, v, pad_add, attn_add), (q, k, v, pad_add, attn_add)
+
+
+def _bwd(res, g):
+    q, k, v, pad_add, attn_add = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: mha_xla(q_, k_, v_, pad_add, attn_add),
+                     q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None, None
+
+
+_fused_mha_core.defvjp(_fwd, _bwd)
+
+
+def fused_mha(q: jax.Array, k: jax.Array, v: jax.Array,
+              key_padding_mask: Optional[jax.Array] = None,
+              attn_mask: Optional[jax.Array] = None) -> jax.Array:
+    """Fused softmax attention.
+
+    q, k, v: ``[B, H, L, Dh]``. ``key_padding_mask``: bool ``[B, Lk]``
+    (True = pad). ``attn_mask``: bool ``[Lq, Lk]`` (True = disallow, e.g.
+    the causal triu mask). Returns ``[B, H, Lq, Dh]``.
+    """
+    neg = jnp.finfo(jnp.float32).min
+    pad_add = None if key_padding_mask is None else \
+        jnp.where(key_padding_mask, neg, 0.0).astype(jnp.float32)
+    attn_add = None if attn_mask is None else \
+        jnp.where(attn_mask, neg, 0.0).astype(jnp.float32)
+    return _fused_mha_core(q, k, v, pad_add, attn_add)

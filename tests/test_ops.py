@@ -60,3 +60,60 @@ def test_construct_index_roundtrip():
     assert set(indices[0:3]) == {1, 4, 5}    # cluster 0
     assert set(indices[3:4]) == {2}          # cluster 1
     assert set(indices[4:6]) == {0, 3}       # cluster 2
+
+
+def test_fused_mha_forward_parity():
+    from recstudio_tpu.ops.attention import fused_mha, mha_xla
+    B, H, L, Dh = 3, 2, 20, 16
+    key = jax.random.PRNGKey(0)
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (B, H, L, Dh))
+               for i in range(3))
+    # padding mask with at least one valid key per row
+    pad = jax.random.bernoulli(jax.random.fold_in(key, 3), 0.3, (B, L))
+    pad = pad.at[:, 0].set(False)
+    causal = jnp.triu(jnp.ones((L, L), bool), 1)
+    neg = jnp.finfo(jnp.float32).min
+    pad_add = jnp.where(pad, neg, 0.0)
+    attn_add = jnp.where(causal, neg, 0.0)
+    a = np.asarray(fused_mha(q, k, v, pad, causal))
+    b = np.asarray(mha_xla(q, k, v, pad_add, attn_add))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_mha_no_mask_and_grads():
+    from recstudio_tpu.ops.attention import fused_mha, mha_xla
+    B, H, L, Dh = 2, 2, 13, 8
+    key = jax.random.PRNGKey(7)
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (B, H, L, Dh))
+               for i in range(3))
+    a = np.asarray(fused_mha(q, k, v))
+    b = np.asarray(mha_xla(q, k, v, None, None))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+    f1 = lambda q, k, v: fused_mha(q, k, v).sum()
+    f2 = lambda q, k, v: mha_xla(q, k, v, None, None).sum()
+    g1 = jax.grad(f1, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f2, argnums=(0, 1, 2))(q, k, v)
+    for x, y in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_lazy_adam_only_updates_touched_rows():
+    import optax
+    from recstudio_tpu.models.optim import lazy_adam
+    emb = jnp.ones((6, 4))
+    g = jnp.zeros((6, 4)).at[jnp.array([1, 3])].set(0.5)
+    opt = lazy_adam(0.1)
+    st = opt.init(emb)
+    upd, st = opt.update(g, st, emb)
+    upd = np.asarray(upd)
+    assert np.all(upd[[0, 2, 4, 5]] == 0.0), "untouched rows must not move"
+    assert np.all(upd[[1, 3]] != 0.0)
+    # dense gradient: identical to stock adam
+    gd = jax.random.normal(jax.random.PRNGKey(0), (6, 4)) + 0.1
+    o1, o2 = lazy_adam(0.1), optax.adam(0.1)
+    s1, s2 = o1.init(emb), o2.init(emb)
+    for _ in range(3):
+        u1, s1 = o1.update(gd, s1, emb)
+        u2, s2 = o2.update(gd, s2, emb)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), rtol=1e-5, atol=1e-6)

@@ -123,3 +123,18 @@ def test_sharded_mips_topk_exact(mesh8):
     v_ref, i_ref = jax.lax.top_k(q @ items.T, K)
     np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_launch_helpers_single_host():
+    from recstudio_tpu.parallel import launch, make_mesh
+    import numpy as np
+    launch.initialize()  # no-op single host
+    assert launch.process_count() >= 1
+    sl = launch.local_shard(100)
+    assert sl == slice(0, 100)
+    mesh = make_mesh(mp=1)
+    batch = {"x": np.arange(16, dtype=np.float32).reshape(16, 1),
+             "y": np.ones(16, np.int32)}
+    g = launch.global_batch(batch, mesh)
+    assert g["x"].shape == (16, 1)
+    np.testing.assert_array_equal(np.asarray(g["y"]), batch["y"])
