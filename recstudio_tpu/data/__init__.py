@@ -1,5 +1,5 @@
-from .dataset import (FullSeqDataset, SeqDataset, SeqToSeqDataset,
-                      TripletDataset, UserDataset)
+from .dataset import (ChainedDataLoader, CombinedLoaders, FullSeqDataset,
+                      SeqDataset, SeqToSeqDataset, TripletDataset, UserDataset)
 from .advance_dataset import ALSDataset
 from .frame import Frame
 from .fields import FieldSpec, parse_field, parse_fields, PAD_TOKEN
@@ -7,5 +7,5 @@ from .fields import FieldSpec, parse_field, parse_fields, PAD_TOKEN
 __all__ = [
     "TripletDataset", "UserDataset", "SeqDataset", "FullSeqDataset",
     "SeqToSeqDataset", "ALSDataset", "Frame", "FieldSpec", "parse_field",
-    "parse_fields", "PAD_TOKEN",
+    "parse_fields", "PAD_TOKEN", "ChainedDataLoader", "CombinedLoaders",
 ]

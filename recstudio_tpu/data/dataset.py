@@ -91,6 +91,7 @@ class TripletDataset:
         if cached is None:
             self._init_common_field()
             self._load_all_data()
+            self._parse_time_field()
             self._filter(self.config.get("min_user_inter", 0) or 0,
                          self.config.get("min_item_inter", 0) or 0)
             self._float_preprocess()
@@ -209,6 +210,19 @@ class TripletDataset:
             if update_dict and s.name not in self.field2maxlen:
                 self.field2maxlen[s.name] = int(df[s.name].map(len).max() or 1)
         return df
+
+    def _parse_time_field(self):
+        """``str``-typed time fields (e.g. gowalla check-in timestamps) are
+        parsed with ``time_format`` into float epoch seconds so downstream
+        time sorting/splitting sees a numeric column."""
+        if not self.ftime or self.field2type.get(self.ftime) != "str":
+            return
+        fmt = self.config.get("time_format")
+        ts = pd.to_datetime(self.inter_feat[self.ftime], format=fmt,
+                            utc=True, errors="coerce")
+        epoch = (ts - pd.Timestamp("1970-01-01", tz="UTC")).dt.total_seconds()
+        self.inter_feat[self.ftime] = epoch.astype(np.float64)
+        self.field2type[self.ftime] = "float"
 
     def _load_all_data(self):
         c = self.config
@@ -810,10 +824,17 @@ class TripletDataset:
         return _BatchIterator(self, batch_size, shuffle, drop_last,
                               rng or np.random.default_rng())
 
-    def eval_loader(self, batch_size: int, **kwargs):
+    def eval_loader(self, batch_size: int, sort_by_len: bool = False, **kwargs):
+        """Evaluation loader. ``sort_by_len=True`` orders samples by sequence
+        length (the reference's SortedDataSampler, data/dataset.py:1737-1786):
+        with static-shape padded batches this groups equal-length rows so the
+        per-batch valid fraction is maximal; metric sums are order-invariant."""
         self.eval_mode = True
+        order = None
+        if sort_by_len and self.data_index is not None and self.data_index.ndim > 1:
+            order = np.argsort(self.sample_length, kind="stable")[::-1].copy()
         return _BatchIterator(self, batch_size, shuffle=False, drop_last=False,
-                              rng=np.random.default_rng())
+                              rng=np.random.default_rng(), order=order)
 
     def loader(self, batch_size, shuffle=True, drop_last=False, **kwargs):
         return _BatchIterator(self, batch_size, shuffle, drop_last, np.random.default_rng())
@@ -858,12 +879,13 @@ class _BatchIterator:
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool, drop_last: bool,
-                 rng: np.random.Generator):
+                 rng: np.random.Generator, order: Optional[np.ndarray] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.rng = rng
+        self.order = order
 
     def __len__(self):
         n = len(self.dataset.data_index)
@@ -871,8 +893,9 @@ class _BatchIterator:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.dataset.data_index)
-        order = np.arange(n)
+        order = self.order if self.order is not None else np.arange(n)
         if self.shuffle:
+            order = order.copy()
             self.rng.shuffle(order)
         bs = self.batch_size
         for start in range(0, n, bs):
@@ -1149,3 +1172,53 @@ class SeqToSeqDataset(SeqDataset):
     def inter_feat_subset(self):
         di = self.data_index
         return np.concatenate([np.arange(s, e + 1) for s, e in zip(di[:, 1], di[:, 2])])
+
+
+class ChainedDataLoader:
+    """Alternate among several loaders across epochs (reference
+    data/dataset.py:1789-1809): epoch e draws from the loader selected by the
+    ``nepoch`` schedule (e.g. nepoch=[2, 1] -> AABAAB...)."""
+
+    def __init__(self, loaders: List, nepoch: Optional[List[int]] = None):
+        self.loaders = list(loaders)
+        nepoch = nepoch or [1] * len(self.loaders)
+        self._schedule = np.concatenate(
+            [np.full(int(n), i, dtype=np.int64) for i, n in enumerate(nepoch)])
+        self._epoch = -1
+
+    def _current(self):
+        return self.loaders[self._schedule[max(self._epoch, 0) % len(self._schedule)]]
+
+    def __len__(self):
+        return len(self._current())
+
+    def __iter__(self):
+        self._epoch += 1
+        return iter(self._current())
+
+
+class CombinedLoaders:
+    """Zip several loaders: each step yields the merged dict of one batch from
+    every loader (reference data/dataset.py:1812-1835). The first loader
+    drives the epoch length; shorter loaders restart when exhausted."""
+
+    def __init__(self, loaders: List):
+        self.loaders = list(loaders)
+
+    def __len__(self):
+        return len(self.loaders[0])
+
+    def __iter__(self):
+        self._iters = [iter(ld) for ld in self.loaders]
+        return self
+
+    def __next__(self):
+        batch = next(self._iters[0])
+        for i in range(1, len(self.loaders)):
+            try:
+                extra = next(self._iters[i])
+            except StopIteration:
+                self._iters[i] = iter(self.loaders[i])
+                extra = next(self._iters[i])
+            batch.update(extra)
+        return batch

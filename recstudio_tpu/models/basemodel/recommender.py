@@ -378,8 +378,29 @@ class Recommender:
             self._setup_scan_epoch(train_data, self.optimizers[0]["optimizer"])
         self.logger.info(f"{type(self).__name__} config:\n"
                          + color_dict_normal(self.config))
+        self._init_tensorboard(train_data.name)
         self.fit_loop(val_data)
         return self
+
+    def _init_tensorboard(self, dataset_name: str):
+        """TensorBoard scalars + config table (reference recommender.py:103-119),
+        enabled by ``train.tensorboard_path``."""
+        self._tb = None
+        path = self.config["train"].get("tensorboard_path")
+        if not path:
+            return
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            import time as _time
+            run = _time.strftime("%Y-%m-%d-%H-%M-%S")
+            logdir = os.path.join(path, type(self).__name__, dataset_name, run)
+            self._tb = SummaryWriter(logdir)
+            from ...utils.misc import dict2markdown_table
+            self._tb.add_text("Configuration/model",
+                              dict2markdown_table(self.config, nested=True))
+            self.logger.info(f"tensorboard logs at {logdir}")
+        except Exception as e:  # tensorboard is optional
+            self.logger.warning(f"tensorboard disabled: {e}")
 
     def _get_callback(self, dataset_name: str):
         if self.val_check:
@@ -450,6 +471,9 @@ class Recommender:
         loaders, combine = self.current_epoch_trainloaders(nepoch)
         if not isinstance(loaders, list):
             loaders = [loaders]
+        elif combine and len(loaders) > 1:
+            from ...data import CombinedLoaders
+            loaders = [CombinedLoaders(loaders)]
         opt_idx = self.current_epoch_optimizers(nepoch)
         total_loss, nbatch = 0.0, 0
         for li, loader in enumerate(loaders):
@@ -543,6 +567,9 @@ class Recommender:
         self.logger.info(
             f"Epoch {nepoch:4d} | " + " ".join(parts)
             + f" | train {train_time:.2f}s eval {eval_time:.2f}s")
+        if getattr(self, "_tb", None) is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(k, float(v), nepoch)
 
     def snapshot(self):
         # deep-copy device buffers: epoch functions donate params/opt_state,

@@ -3,6 +3,7 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+from .gru import AGRU, AIGRU, AUGRU
 from .layers import (AttentionLayer, CrossCompressUnit, Dice, FeatInterLayers,
                      GRULayer, HStackLayer, KMaxPoolingLayer, LambdaLayer,
                      MLPModule, MultiHeadAttention, ResidualLayer,
@@ -26,6 +27,7 @@ class Embedding(nn.Module):
 
 __all__ = [
     "Embedding", "MLPModule", "get_act", "Dice", "GRULayer", "SeqPoolingLayer",
+    "AGRU", "AUGRU", "AIGRU",
     "AttentionLayer", "TransformerLayer", "TransformerEncoder", "LambdaLayer",
     "HStackLayer", "VStackLayer", "KMaxPoolingLayer", "ResidualLayer",
     "CrossCompressUnit", "FeatInterLayers",

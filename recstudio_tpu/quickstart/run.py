@@ -31,6 +31,10 @@ def run(model: str, dataset: str, model_config: Optional[Union[Dict, str]] = Non
                    if isinstance(v, dict) and k in ("data", "model", "train", "eval")}
         model_conf = deep_update(model_conf, grouped)
 
+    if run_mode == "tune":
+        from ..utils.misc import update_config_with_nni
+        model_conf = update_config_with_nni(model_conf)
+
     log_dir = os.path.join("log", f"{model_class.__name__}", dataset)
     logger = get_logger(log_dir=log_dir if verbose else None)
     seed_everything(model_conf["train"].get("seed") or 2022)

@@ -1,0 +1,70 @@
+"""Misc utilities mirroring the reference's utils grab-bag.
+
+- ``update_config_with_nni``: pull hyperparameters from an NNI trial into the
+  nested config (reference utils/utils.py:197-223 — keys use the ``group/key``
+  convention, e.g. ``train/learning_rate``).
+- ``mask_with_hist``: scatter -inf into a score matrix at user-history item
+  ids (reference utils/utils.py:474-500).
+- ``dict2markdown_table``: render a (nested) config dict as a markdown table
+  for TensorBoard text panels (reference utils/utils.py:502-514).
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def update_config_with_nni(config: Dict) -> Dict:
+    """Overlay NNI-tuned parameters onto the layered config (tune mode)."""
+    try:
+        import nni
+    except ImportError:
+        return config
+    params = nni.get_next_parameter() or {}
+    for key, value in params.items():
+        if "/" in key:
+            group, name = key.split("/", 1)
+            if group in config and isinstance(config[group], dict):
+                config[group][name] = value
+                continue
+        for group in ("train", "model", "eval", "data"):
+            if isinstance(config.get(group), dict) and key in config[group]:
+                config[group][key] = value
+                break
+    return config
+
+
+def mask_with_hist(scores: np.ndarray, user_hist: np.ndarray,
+                   fill: float = -np.inf) -> np.ndarray:
+    """Set ``scores[b, hist-1]`` to ``fill`` for every non-pad history id.
+
+    ``scores`` columns correspond to item ids 1..N (column j = item j+1), the
+    layout of full-catalog score matrices; pad ids (0) are ignored. Works for
+    numpy and jax arrays (functional update for jax).
+    """
+    n_cols = scores.shape[-1]
+    col = np.where(np.asarray(user_hist) > 0, np.asarray(user_hist) - 1, n_cols)
+    rows = np.arange(scores.shape[0])[:, None]
+    if isinstance(scores, np.ndarray):
+        out = scores.copy()
+        valid = col < n_cols
+        out[np.broadcast_to(rows, col.shape)[valid], col[valid]] = fill
+        return out
+    return scores.at[rows, col].set(fill, mode="drop")
+
+
+def dict2markdown_table(d: Dict, nested: bool = False) -> str:
+    rows = []
+    if nested:
+        for group, sub in d.items():
+            if isinstance(sub, dict):
+                for k, v in sub.items():
+                    rows.append((f"{group}/{k}", v))
+            else:
+                rows.append((group, sub))
+    else:
+        rows = list(d.items())
+    lines = ["| key | value |", "| --- | --- |"]
+    lines += [f"| {k} | {v} |" for k, v in rows]
+    return "\n".join(lines)

@@ -125,3 +125,66 @@ def test_checkpoint_roundtrip(tmp_path):
 
 
 import jax  # noqa: E402  (used in checkpoint test)
+
+
+def test_str_time_field_parsing(tmp_path):
+    """gowalla-style ISO-8601 str timestamps parse into epoch-second floats."""
+    import numpy as np
+    from recstudio_tpu.data import TripletDataset
+    rows = []
+    for u in range(1, 5):
+        for t, i in enumerate(range(1, 4)):
+            rows.append(f"u{u}\t2010-10-0{t+1}T12:00:00Z\t0.0\t0.0\tl{i}")
+    (tmp_path / "checkins.txt").write_text("\n".join(rows) + "\n")
+    conf = {
+        "url": None,
+        "user_id_field": "user:token", "item_id_field": "location_id:token",
+        "rating_field": None, "time_field": "check_in_time:str",
+        "time_format": "%Y-%m-%dT%H:%M:%S%z",
+        "inter_feat_name": "checkins.txt",
+        "inter_feat_field": ["user:token", "check_in_time:str",
+                             "latitude:float", "longitude:float",
+                             "location_id:token"],
+        "inter_feat_header": None,
+        "user_feat_name": None, "item_feat_name": None,
+        "network_feat_name": None,
+        "field_separator": "\t", "min_user_inter": 0, "min_item_inter": 0,
+        "max_seq_len": 5, "save_cache": False,
+    }
+    ds = TripletDataset("tiny-gowalla", config=conf, data_dir=str(tmp_path))
+    assert ds.field2type["check_in_time"] == "float"
+    trn, val, tst = ds.build(split_ratio=[0.7, 0.15, 0.15])
+    col = np.asarray(trn.inter_feat.get_col("check_in_time"), dtype=np.float64)
+    assert np.all(np.isfinite(col)) and col.min() > 1e9  # epoch seconds, 2010
+    assert len(trn.data_index) > 0
+
+
+def test_loader_combinators(ml100k_splits):
+    import numpy as np
+    from recstudio_tpu.data import ChainedDataLoader, CombinedLoaders
+    trn = ml100k_splits[0]
+    l1 = trn.train_loader(batch_size=128, shuffle=False)
+    l2 = trn.train_loader(batch_size=128, shuffle=False)
+    chained = ChainedDataLoader([l1, l2], nepoch=[2, 1])
+    picks = [chained._current() for _ in range(3)]
+    for _ in range(3):
+        iter(chained)
+    # schedule AAB: epochs 0,1 -> l1, epoch 2 -> l2
+    assert chained._schedule.tolist() == [0, 0, 1]
+    combined = CombinedLoaders([trn.train_loader(batch_size=64, shuffle=False),
+                                trn.train_loader(batch_size=64, shuffle=False)])
+    b = next(iter(combined))
+    assert len(combined) == len(trn.train_loader(batch_size=64))
+    assert "_size" in b
+
+
+def test_sorted_eval_loader(ml100k_splits):
+    import numpy as np
+    val = ml100k_splits[1]
+    loader = val.eval_loader(batch_size=32, sort_by_len=True)
+    lens = []
+    for batch in loader:
+        tgt = batch[val.fiid]
+        if tgt.ndim > 1:
+            lens.extend((tgt > 0).sum(-1)[: int(batch["_size"])].tolist())
+    assert lens == sorted(lens, reverse=True), "samples must be length-ordered"

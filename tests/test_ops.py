@@ -117,3 +117,25 @@ def test_lazy_adam_only_updates_touched_rows():
         u1, s1 = o1.update(gd, s1, emb)
         u2, s2 = o2.update(gd, s2, emb)
     np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), rtol=1e-5, atol=1e-6)
+
+
+def test_attention_gated_grus():
+    from recstudio_tpu.models.module import AGRU, AUGRU, AIGRU
+    B, L, D, H = 2, 5, 4, 6
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, L, D))
+    att = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(1), (B, L)), -1)
+    for mod in (AGRU(H), AUGRU(H)):
+        params = mod.init(jax.random.PRNGKey(2), x, att)
+        hs, h_last = mod.apply(params, x, att)
+        assert hs.shape == (B, L, H) and h_last.shape == (B, H)
+        np.testing.assert_allclose(np.asarray(hs[:, -1]), np.asarray(h_last),
+                                   rtol=1e-6)
+        # zero attention on AGRU freezes the hidden state at 0
+        if isinstance(mod, AGRU):
+            hs0, _ = mod.apply(params, x, jnp.zeros((B, L)))
+            np.testing.assert_allclose(np.asarray(hs0), 0.0, atol=1e-7)
+    aigru = AIGRU(H)
+    params = aigru.init(jax.random.PRNGKey(3), x, att)
+    out = aigru.apply(params, x, att)
+    out = out[0] if isinstance(out, tuple) else out
+    assert out.shape[0] == B
