@@ -17,6 +17,7 @@ def main():
     from recstudio_tpu.utils import get_model, seed_everything
     model_class, conf = get_model("BPR")
     conf["train"]["epochs"] = 1
+    conf["train"]["benchmark_mode"] = True
     seed_everything(2022)
 
     from recstudio_tpu.data import TripletDataset
@@ -27,13 +28,21 @@ def main():
     model = model_class(conf)
     model.fit(trn, None, run_mode="light")  # builds + compiles + 1 epoch warmup
 
-    # steady-state: timed scan epochs (full epoch = one device dispatch)
+    # steady-state: timed scan epochs (full epoch = one device dispatch).
+    # Training runs read-free (train.deferred_metrics): the loop blocks on the
+    # returned device loss, never transferring it — host reads act as pipeline
+    # barriers on remote TPU runtimes and are deferred to the end.
+    import jax
+    jax.block_until_ready(model.training_epoch(0))  # warm steady state
     n_epochs = 20
+    losses = []
     t0 = time.time()
     for _ in range(n_epochs):
-        model.training_epoch(0)
+        losses.append(model.training_epoch(0))
+    jax.block_until_ready(losses)
     dt = time.time() - t0
     examples_per_s = n_examples * n_epochs / dt
+    assert np.isfinite(float(losses[-1]))  # single read, after timing
 
     print(json.dumps({
         "metric": "BPR/ml-100k train throughput (1 chip)",

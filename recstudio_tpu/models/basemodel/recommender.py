@@ -412,9 +412,19 @@ class Recommender:
         return SaveLastCallback(self, dataset_name,
                                 save_dir=self.config["eval"].get("save_path"))
 
+    def _defer_metric_reads(self) -> bool:
+        """Keep per-epoch training metrics on device, reading them only after
+        the fit loop. Enabled by ``train.deferred_metrics`` (auto-on when no
+        validation runs, since nothing on the host needs the values mid-fit)."""
+        flag = self.config["train"].get("deferred_metrics", "auto")
+        if isinstance(flag, str):
+            return not getattr(self, "val_check", False)
+        return bool(flag)
+
     def fit_loop(self, val_data=None):
         nepoch = 0
         stop = False
+        deferred = []
         prof_dir = self.config["train"].get("profiler_path")
         prof_epochs = int(self.config["train"].get("profiler_epochs", 2))
         try:
@@ -430,7 +440,7 @@ class Recommender:
                     self.logger.info(f"profiler trace written to {prof_dir}")
                     prof_dir = None
                 metrics: Dict[str, Any] = {"train_loss": training_output}
-                if nepoch > 0:
+                if nepoch > 0 and not self._defer_metric_reads():
                     n_ex = getattr(self, "_steps_per_epoch", 0) * \
                         self.config["train"].get("batch_size", 0)
                     if n_ex and (t1 - t0) > 0:
@@ -441,7 +451,11 @@ class Recommender:
                     metrics.update(val_metrics)
                 t2 = time.time()
                 self.logged_metrics.update(metrics)
-                self.log_dict(nepoch, metrics, t1 - t0, t2 - t1)
+                if self._defer_metric_reads():
+                    # no host reads mid-fit: stash device scalars, log after
+                    deferred.append((nepoch, metrics, t1 - t0, t2 - t1))
+                else:
+                    self.log_dict(nepoch, metrics, t1 - t0, t2 - t1)
                 if self.run_mode == "tune":
                     try:
                         import nni
@@ -459,14 +473,28 @@ class Recommender:
                     break
         except KeyboardInterrupt:
             self.logger.info("training interrupted — saving checkpoint")
+        if self.config["train"].get("benchmark_mode"):
+            # keep the process entirely read-free (no log flush, no checkpoint
+            # serialization): used by throughput benchmarks where any
+            # device->host transfer would act as a pipeline barrier
+            self._pending_logs = deferred
+            return
+        for ep, metrics, tt, te in deferred:  # flush device scalars post-fit
+            self.log_dict(ep, metrics, tt, te)
         self.ckpt_path = self.callback.save_checkpoint(nepoch)
         self.logger.info(f"best checkpoint saved at {self.ckpt_path}")
 
-    def training_epoch(self, nepoch: int) -> float:
+    def training_epoch(self, nepoch: int):
         if getattr(self, "_scan_epoch_fn", None) is not None:
             self.params, self.opt_states[0], loss = self._scan_epoch_fn(
                 self.params, self.opt_states[0], self.next_rng(),
                 self._scan_arrays, self.states)
+            # Return the DEVICE scalar. Host reads are deferred to log time:
+            # on a tunneled/async TPU runtime a device->host read acts as a
+            # pipeline barrier (and on some transports permanently degrades
+            # dispatch), so the hot loop must stay read-free.
+            if self._defer_metric_reads():
+                return loss
             return float(loss)
         loaders, combine = self.current_epoch_trainloaders(nepoch)
         if not isinstance(loaders, list):
@@ -486,9 +514,10 @@ class Recommender:
                 batch = batch_to_device(batch)
                 self.params, self.opt_states[oi], loss = step_fn(
                     self.params, self.opt_states[oi], batch, self.next_rng(), self.states)
-                total_loss += float(loss)
+                total_loss = total_loss + loss  # device scalar: no mid-epoch read
                 nbatch += 1
-        return total_loss / max(nbatch, 1)
+        mean = total_loss / max(nbatch, 1)
+        return mean if self._defer_metric_reads() else float(mean)
 
     # -- evaluation -----------------------------------------------------
     def validation_epoch(self, nepoch: int, val_data) -> Dict[str, float]:

@@ -84,3 +84,110 @@ def kcore_filter(users: np.ndarray, items: np.ndarray, n_users: int, n_items: in
             break
         ualive, ialive = new_u, new_i
     return ualive[users] & ialive[items]
+
+
+# ---------------------------------------------------------------------------
+# CSV fast path (csv.cpp)
+# ---------------------------------------------------------------------------
+_CSV_LIB_PATH = os.path.join(_HERE, "_libcsv.so")
+_csv_lib: Optional[ctypes.CDLL] = None
+_csv_tried = False
+_EMIT_FN = ctypes.CFUNCTYPE(None, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64)
+
+
+def _get_csv_lib() -> Optional[ctypes.CDLL]:
+    global _csv_lib, _csv_tried
+    with _lock:
+        if _csv_lib is not None:
+            return _csv_lib
+        if _csv_tried:
+            return None
+        _csv_tried = True
+        src = os.path.join(_HERE, "csv.cpp")
+        if not os.path.exists(_CSV_LIB_PATH):
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
+                     "-o", _CSV_LIB_PATH],
+                    check=True, capture_output=True, timeout=120)
+            except Exception:
+                return None
+        try:
+            lib = ctypes.CDLL(_CSV_LIB_PATH)
+            lib.csv_count_rows.restype = ctypes.c_int64
+            lib.csv_count_rows.argtypes = [ctypes.c_char_p]
+            lib.csv_parse.restype = ctypes.c_int64
+            lib.csv_parse.argtypes = [
+                ctypes.c_char_p, ctypes.c_char, ctypes.c_int32,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.c_int64, _EMIT_FN]
+            _csv_lib = lib
+        except OSError:
+            _csv_lib = None
+        return _csv_lib
+
+
+def fast_read_csv(path: str, sep: str, names, float_cols, skip_rows: int = 0):
+    """Parse an unquoted single-char-separator CSV into column arrays.
+
+    Returns ``{name: np.ndarray}`` — float64 for float columns, object arrays
+    of str (NaN for empties) for token columns — or None when the native
+    library is unavailable or the file needs the pandas fallback (multi-char
+    separator, quoting).
+    """
+    if len(sep) != 1:
+        return None
+    lib = _get_csv_lib()
+    if lib is None:
+        return None
+    # sniff quoting: the native parser does not handle quoted fields
+    try:
+        with open(path, "rb") as f:
+            head = f.read(65536)
+        if b'"' in head:
+            return None
+    except OSError:
+        return None
+
+    total = lib.csv_count_rows(path.encode())
+    if total < 0:
+        return None
+    cap = max(total - skip_rows, 0)
+    ncols = len(names)
+    is_float = np.asarray([1 if n in float_cols else 0 for n in names],
+                          dtype=np.uint8)
+    float_bufs, token_bufs = [], []
+    float_ptrs = (ctypes.POINTER(ctypes.c_double) * ncols)()
+    token_ptrs = (ctypes.POINTER(ctypes.c_int32) * ncols)()
+    uniques: dict = {}
+    for c, n in enumerate(names):
+        if is_float[c]:
+            buf = np.empty(cap, dtype=np.float64)
+            float_bufs.append(buf)
+            float_ptrs[c] = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+            token_bufs.append(None)
+        else:
+            buf = np.empty(cap, dtype=np.int32)
+            token_bufs.append(buf)
+            token_ptrs[c] = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+            float_bufs.append(None)
+            uniques[c] = []
+
+    def emit(col, s, _id):
+        uniques[col].append(s.decode("utf-8", errors="replace"))
+
+    rows = lib.csv_parse(path.encode(), sep.encode()[0:1], skip_rows, ncols,
+                         is_float.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                         float_ptrs, token_ptrs, cap, _EMIT_FN(emit))
+    if rows < 0:
+        return None
+    out = {}
+    for c, n in enumerate(names):
+        if is_float[c]:
+            out[n] = float_bufs[c][:rows]
+        else:
+            pool = np.asarray(uniques[c] + [None], dtype=object)
+            out[n] = pool[token_bufs[c][:rows]]  # -1 indexes the trailing None
+    return out

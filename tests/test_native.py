@@ -44,3 +44,30 @@ def test_cpp_library_builds():
     # the toolchain is available in this environment, so the fast path should
     # actually engage (fallback keeps correctness elsewhere)
     assert native.get_lib() is not None
+
+
+def test_fast_read_csv_matches_pandas():
+    import os
+    import numpy as np
+    import pandas as pd
+    from recstudio_tpu.native import fast_read_csv
+    path = os.path.join(os.path.dirname(__file__), "..", "recstudio_tpu",
+                        "dataset_demo", "ml-100k", "ml-100k.inter")
+    names = ["user_id", "item_id", "rating", "timestamp"]
+    out = fast_read_csv(path, "\t", names, {"rating", "timestamp"}, skip_rows=1)
+    if out is None:  # no compiler in env: fallback path covers it
+        import pytest
+        pytest.skip("native csv lib unavailable")
+    df = pd.read_csv(path, sep="\t", header=0, names=names,
+                     dtype={"user_id": str, "item_id": str,
+                            "rating": float, "timestamp": float})
+    assert len(df) == len(out["user_id"])
+    assert (df["user_id"].values == out["user_id"]).all()
+    assert np.allclose(df["rating"].values, out["rating"])
+
+
+def test_fast_read_csv_quoting_fallback(tmp_path):
+    from recstudio_tpu.native import fast_read_csv
+    p = tmp_path / "q.csv"
+    p.write_text('a,"x, y",1.0\n')
+    assert fast_read_csv(str(p), ",", ["c1", "c2", "c3"], {"c3"}) is None
