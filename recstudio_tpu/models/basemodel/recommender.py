@@ -328,7 +328,125 @@ class Recommender:
             return params, opt_state, losses.mean()
 
         self._scan_arrays = arrays
+        self._scan_epoch_core = epoch_fn  # unjitted: reused by block fitting
         self._scan_epoch_fn = jax.jit(epoch_fn, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+    # block fitting: K epochs + on-device validation per dispatch.
+    # Host reads are pipeline barriers (and on tunneled runtimes degrade all
+    # subsequent dispatch), so the TPU-native fit runs whole epoch blocks —
+    # training scan, full validation pass, and best-params tracking — inside
+    # ONE jitted call, reading back only a [K] metric vector per block.
+    # Early stopping is applied on the host at epoch granularity from that
+    # vector; the best parameters are selected on device, so a best epoch in
+    # the middle of a block is captured exactly.
+    # ------------------------------------------------------------------
+    def _block_size(self) -> int:
+        flag = self.config["train"].get("epoch_block", "auto")
+        if isinstance(flag, str):
+            return 10
+        return int(flag or 0)
+
+    def _block_fit_eligible(self, val_data) -> bool:
+        if (self._block_size() <= 1 or not self.val_check or val_data is None
+                or getattr(self, "_scan_epoch_core", None) is None
+                or self._scan_epoch_fn is None
+                or isinstance(self.frating, list)
+                or "net" in self.states):
+            return False
+        from .baseretriever import BaseRetriever
+        if not isinstance(self, BaseRetriever):
+            return False
+        # per-epoch host-side refresh (item-vector cache rebuild for mining
+        # methods / stateful samplers / model-specific state like NCL's
+        # k-means prototypes) cannot run inside the block
+        if type(self)._epoch_refresh is not BaseRetriever._epoch_refresh:
+            return False
+        if type(self).training_epoch is not Recommender.training_epoch:
+            return False  # model supplies its own epoch procedure
+        return not (self._train_needs_item_vector() or self._sampler_is_stateful())
+
+    def _setup_block_fit(self, val_data):
+        vm = self.val_metric
+        cutoffs = self._cutoffs()[:1]
+        stacked, scan_eval = self._eval_scan_core(
+            val_data, self.config["eval"]["val_metrics"], cutoffs)
+        mode_max = self.config["train"].get("early_stop_mode", "max") != "min"
+        epoch_core = self._scan_epoch_core
+
+        def block_fn(params, opt_state, best_params, best_metric, rng,
+                     data, eval_stacked, states, epoch_ids):
+            def one(carry, e):
+                params, opt_state, best_params, best_metric = carry
+                erng = jax.random.fold_in(rng, e)
+                params, opt_state, loss = epoch_core(params, opt_state, erng,
+                                                     data, states)
+                sums, weight, _ = scan_eval(params, eval_stacked, states)
+                metric = sums[vm] / jnp.maximum(weight, 1.0)
+                improved = (metric > best_metric) if mode_max else (metric < best_metric)
+                best_params = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(improved, a, b), params, best_params)
+                best_metric = jnp.where(improved, metric, best_metric)
+                return (params, opt_state, best_params, best_metric), (loss, metric)
+
+            carry = (params, opt_state, best_params, best_metric)
+            carry, (losses, metrics) = jax.lax.scan(one, carry, epoch_ids)
+            params, opt_state, best_params, best_metric = carry
+            return params, opt_state, best_params, best_metric, losses, metrics
+
+        self._val_stacked = stacked
+        self._block_fit_fn = jax.jit(block_fn, donate_argnums=(0, 1, 2))
+
+    def _fit_loop_blocks(self, val_data):
+        K = self._block_size()
+        epochs = int(self.config["train"]["epochs"])
+        patience = int(self.config["train"].get("early_stop_patience", 10))
+        mode_max = self.config["train"].get("early_stop_mode", "max") != "min"
+        improved = (lambda v, b: v > b) if mode_max else (lambda v, b: v < b)
+        self._setup_block_fit(val_data)
+        cp = lambda t: jax.tree_util.tree_map(
+            lambda x: x.copy() if hasattr(x, "copy") else x, t)
+        best_params = cp(self.params)
+        best_metric = jnp.asarray(-np.inf if mode_max else np.inf, jnp.float32)
+        run_rng = self.next_rng()
+        e0, counter, stop = 0, 0, False
+        best_value = float("-inf") if mode_max else float("inf")
+        best_epoch = -1
+        while e0 < epochs and not stop:
+            k = min(K, epochs - e0)
+            ids = jnp.arange(e0, e0 + k)
+            t0 = time.time()
+            (self.params, self.opt_states[0], best_params, best_metric,
+             losses, metrics) = self._block_fit_fn(
+                self.params, self.opt_states[0], best_params, best_metric,
+                run_rng, self._scan_arrays, self._val_stacked, self.states, ids)
+            losses_h, metrics_h = np.asarray(losses), np.asarray(metrics)  # 1 read
+            dt = time.time() - t0
+            for j in range(k):
+                self.log_dict(e0 + j, {"train_loss": float(losses_h[j]),
+                                       self.val_metric: float(metrics_h[j])},
+                              dt / k, 0.0)
+                if improved(float(metrics_h[j]), best_value):
+                    best_value, best_epoch, counter = float(metrics_h[j]), e0 + j, 0
+                else:
+                    counter += 1
+                    if counter >= patience:
+                        stop = True
+                        break
+            self.logged_metrics["examples_per_s"] = \
+                getattr(self, "_steps_per_epoch", 0) * \
+                self.config["train"].get("batch_size", 0) * k / max(dt, 1e-9)
+            e0 += k
+        if stop:
+            self.logger.info(
+                f"early stopped at epoch {min(e0, epochs) - 1}; best "
+                f"{self.val_metric}={best_value:.4f} @ epoch {best_epoch}")
+        # hand results to the EarlyStopping callback for evaluate()/restore
+        self.callback.best_params = (best_params, cp(self.states))
+        self.callback.best_value = best_value
+        self.callback.best_epoch = best_epoch
+        self.ckpt_path = self.callback.save_checkpoint(best_epoch)
+        self.logger.info(f"best checkpoint saved at {self.ckpt_path}")
 
     # ------------------------------------------------------------------
     # fit / evaluate
@@ -422,6 +540,8 @@ class Recommender:
         return bool(flag)
 
     def fit_loop(self, val_data=None):
+        if self._block_fit_eligible(val_data):
+            return self._fit_loop_blocks(val_data)
         nepoch = 0
         stop = False
         deferred = []
@@ -545,36 +665,46 @@ class Recommender:
         self.logged_metrics.update(out)
         return out
 
-    def _eval_epoch(self, data, metric_names, cutoffs) -> Dict[str, float]:
-        """Evaluate a split in ONE device dispatch: eval batches are stacked
-        once ([nbatch, B, ...]) and scanned on device; only the final metric
-        sums come back to the host."""
+    def _eval_scan_core(self, data, metric_names, cutoffs):
+        """(stacked_batches, unjitted scan_core) for a split — the core is a
+        pure fn (params, stacked, states) -> (metric_sums, weight, globs),
+        usable standalone (jitted by _eval_epoch) or inside the block-fit jit."""
+        loader = data.eval_loader(batch_size=self.config["eval"]["batch_size"])
+        batches = list(loader)
+        stacked = {k: jnp.asarray(np.stack([b[k] for b in batches]))
+                   for k in batches[0]}
+        step = self._make_eval_step(metric_names, tuple(cutoffs))
+
+        def scan_eval(params, stacked, states):
+            def body(carry, batch):
+                sums, weight = carry
+                per_sums, bs, glob = step(params, batch, states)
+                new_sums = {k: sums[k] + per_sums[k] for k in per_sums}
+                return (new_sums, weight + bs), glob
+
+            b0 = {k: v[0] for k, v in stacked.items()}
+            init_sums, _, _ = step(params, b0, states)
+            init = ({k: jnp.zeros_like(v) for k, v in init_sums.items()},
+                    jnp.zeros((), jnp.float32))
+            (sums, weight), globs = jax.lax.scan(body, init, stacked)
+            return sums, weight, globs
+
+        return stacked, scan_eval
+
+    def _eval_scan_parts(self, data, metric_names, cutoffs):
         key = (id(data), tuple(metric_names), tuple(cutoffs))
         if not hasattr(self, "_eval_cache"):
             self._eval_cache = {}
         if key not in self._eval_cache:
-            loader = data.eval_loader(batch_size=self.config["eval"]["batch_size"])
-            batches = list(loader)
-            stacked = {k: jnp.asarray(np.stack([b[k] for b in batches]))
-                       for k in batches[0]}
-            step = self._make_eval_step(metric_names, tuple(cutoffs))
+            stacked, scan_eval = self._eval_scan_core(data, metric_names, cutoffs)
+            self._eval_cache[key] = (stacked, jax.jit(scan_eval))
+        return self._eval_cache[key]
 
-            def scan_eval(params, stacked, states):
-                def body(carry, batch):
-                    sums, weight = carry
-                    per_sums, bs, glob = step(params, batch, states)
-                    new_sums = {k: sums[k] + per_sums[k] for k in per_sums}
-                    return (new_sums, weight + bs), glob
-
-                b0 = {k: v[0] for k, v in stacked.items()}
-                init_sums, _, _ = step(params, b0, states)
-                init = ({k: jnp.zeros_like(v) for k, v in init_sums.items()},
-                        jnp.zeros((), jnp.float32))
-                (sums, weight), globs = jax.lax.scan(body, init, stacked)
-                return sums, weight, globs
-
-            self._eval_cache[key] = (stacked, jax.jit(scan_eval), batches)
-        stacked, scan_eval, batches = self._eval_cache[key]
+    def _eval_epoch(self, data, metric_names, cutoffs) -> Dict[str, float]:
+        """Evaluate a split in ONE device dispatch: eval batches are stacked
+        once ([nbatch, B, ...]) and scanned on device; only the final metric
+        sums come back to the host."""
+        stacked, scan_eval = self._eval_scan_parts(data, metric_names, cutoffs)
         sums, weight, globs = scan_eval(self.params, stacked, self.states)
         weight = float(weight)
         out = {k: float(v) / max(weight, 1.0) for k, v in sums.items()}
