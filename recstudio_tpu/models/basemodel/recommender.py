@@ -351,51 +351,100 @@ class Recommender:
         if (self._block_size() <= 1 or not self.val_check or val_data is None
                 or getattr(self, "_scan_epoch_core", None) is None
                 or self._scan_epoch_fn is None
-                or isinstance(self.frating, list)
-                or "net" in self.states):
-            return False
-        from .baseretriever import BaseRetriever
-        if not isinstance(self, BaseRetriever):
-            return False
-        # per-epoch host-side refresh (item-vector cache rebuild for mining
-        # methods / stateful samplers / model-specific state like NCL's
-        # k-means prototypes) cannot run inside the block
-        if type(self)._epoch_refresh is not BaseRetriever._epoch_refresh:
+                or isinstance(self.frating, list)):
             return False
         if type(self).training_epoch is not Recommender.training_epoch:
             return False  # model supplies its own epoch procedure
-        return not (self._train_needs_item_vector() or self._sampler_is_stateful())
+        refresh = type(self)._epoch_refresh
+        from .baseranker import BaseRanker
+        from .baseretriever import BaseRetriever
+        if isinstance(self, BaseRetriever):
+            # per-epoch host-side refresh (item-vector cache rebuild for
+            # mining methods / stateful samplers / model-specific state like
+            # NCL's k-means prototypes) cannot run inside the block
+            if refresh is not BaseRetriever._epoch_refresh:
+                return False
+            return not (self._train_needs_item_vector()
+                        or self._sampler_is_stateful())
+        if isinstance(self, BaseRanker):
+            # retriever-cascaded rankers refresh stage-1 state per epoch
+            return refresh is BaseRanker._epoch_refresh and self.retriever is None
+        return False
+
+    def _device_val_metric(self, sums, weight, globs):
+        """The validation-monitor value as a device scalar (used inside the
+        block-fit jit). Per-sample metrics come from the summed kernel
+        outputs; global metrics (AUC) are computed from the gathered
+        score/label arrays on device."""
+        if self.val_metric in sums:
+            return sums[self.val_metric] / jnp.maximum(weight, 1.0)
+        base = self.val_metric.split("@")[0]
+        global_m = dict(eval_mod.get_global_metrics([base]))
+        if globs is not None and base in global_m and not isinstance(self.frating, list):
+            g = globs[self.frating]
+            return global_m[base](g["score"].reshape(-1), g["label"].reshape(-1),
+                                  g["weight"].reshape(-1))
+        raise KeyError(f"val metric {self.val_metric} not computable on device")
 
     def _setup_block_fit(self, val_data):
-        vm = self.val_metric
         cutoffs = self._cutoffs()[:1]
         stacked, scan_eval = self._eval_scan_core(
             val_data, self.config["eval"]["val_metrics"], cutoffs)
         mode_max = self.config["train"].get("early_stop_mode", "max") != "min"
         epoch_core = self._scan_epoch_core
 
-        def block_fn(params, opt_state, best_params, best_metric, rng,
-                     data, eval_stacked, states, epoch_ids):
+        # batch-norm models: recalibrate population stats on device before
+        # each in-block validation pass (same recipe as _refresh_net_state)
+        with_net = "net" in self.states and "batch_stats" in self.states["net"]
+        if with_net:
+            loader = self._train_data.train_loader(
+                batch_size=int(self.config["train"]["batch_size"]), shuffle=False)
+            calib_batches = [b for _, b in zip(range(32), loader)]
+            calib_stacked = {k: jnp.asarray(np.stack([b[k] for b in calib_batches]))
+                             for k in calib_batches[0]}
+
+            def calibrate(params, net):
+                reset = dict(net)
+                reset["batch_stats"] = jax.tree_util.tree_map(
+                    jnp.zeros_like, net["batch_stats"])
+
+                def body(ns, batch):
+                    return self._calibration_forward(params, batch, ns), None
+                out, _ = jax.lax.scan(body, reset, calib_stacked)
+                return out
+        else:
+            calibrate = None
+
+        def block_fn(params, opt_state, best_params, best_net, best_metric,
+                     rng, data, eval_stacked, states, epoch_ids):
             def one(carry, e):
-                params, opt_state, best_params, best_metric = carry
+                params, opt_state, best_params, best_net, best_metric = carry
                 erng = jax.random.fold_in(rng, e)
                 params, opt_state, loss = epoch_core(params, opt_state, erng,
                                                      data, states)
-                sums, weight, _ = scan_eval(params, eval_stacked, states)
-                metric = sums[vm] / jnp.maximum(weight, 1.0)
+                if calibrate is not None:
+                    net = calibrate(params, states["net"])
+                    eval_states = {**states, "net": net}
+                else:
+                    net = best_net  # empty placeholder
+                    eval_states = states
+                sums, weight, globs = scan_eval(params, eval_stacked, eval_states)
+                metric = self._device_val_metric(sums, weight, globs)
                 improved = (metric > best_metric) if mode_max else (metric < best_metric)
-                best_params = jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(improved, a, b), params, best_params)
+                sel = lambda a, b: jnp.where(improved, a, b)
+                best_params = jax.tree_util.tree_map(sel, params, best_params)
+                best_net = jax.tree_util.tree_map(sel, net, best_net)
                 best_metric = jnp.where(improved, metric, best_metric)
-                return (params, opt_state, best_params, best_metric), (loss, metric)
+                return (params, opt_state, best_params, best_net, best_metric), \
+                    (loss, metric)
 
-            carry = (params, opt_state, best_params, best_metric)
+            carry = (params, opt_state, best_params, best_net, best_metric)
             carry, (losses, metrics) = jax.lax.scan(one, carry, epoch_ids)
-            params, opt_state, best_params, best_metric = carry
-            return params, opt_state, best_params, best_metric, losses, metrics
+            return (*carry, losses, metrics)
 
         self._val_stacked = stacked
-        self._block_fit_fn = jax.jit(block_fn, donate_argnums=(0, 1, 2))
+        self._block_with_net = with_net
+        self._block_fit_fn = jax.jit(block_fn, donate_argnums=(0, 1, 2, 3))
 
     def _fit_loop_blocks(self, val_data):
         K = self._block_size()
@@ -407,6 +456,7 @@ class Recommender:
         cp = lambda t: jax.tree_util.tree_map(
             lambda x: x.copy() if hasattr(x, "copy") else x, t)
         best_params = cp(self.params)
+        best_net = cp(self.states["net"]) if self._block_with_net else {}
         best_metric = jnp.asarray(-np.inf if mode_max else np.inf, jnp.float32)
         run_rng = self.next_rng()
         e0, counter, stop = 0, 0, False
@@ -416,10 +466,11 @@ class Recommender:
             k = min(K, epochs - e0)
             ids = jnp.arange(e0, e0 + k)
             t0 = time.time()
-            (self.params, self.opt_states[0], best_params, best_metric,
-             losses, metrics) = self._block_fit_fn(
-                self.params, self.opt_states[0], best_params, best_metric,
-                run_rng, self._scan_arrays, self._val_stacked, self.states, ids)
+            (self.params, self.opt_states[0], best_params, best_net,
+             best_metric, losses, metrics) = self._block_fit_fn(
+                self.params, self.opt_states[0], best_params, best_net,
+                best_metric, run_rng, self._scan_arrays, self._val_stacked,
+                self.states, ids)
             losses_h, metrics_h = np.asarray(losses), np.asarray(metrics)  # 1 read
             dt = time.time() - t0
             for j in range(k):
@@ -442,7 +493,10 @@ class Recommender:
                 f"early stopped at epoch {min(e0, epochs) - 1}; best "
                 f"{self.val_metric}={best_value:.4f} @ epoch {best_epoch}")
         # hand results to the EarlyStopping callback for evaluate()/restore
-        self.callback.best_params = (best_params, cp(self.states))
+        best_states = cp(self.states)
+        if self._block_with_net:
+            best_states["net"] = best_net
+        self.callback.best_params = (best_params, best_states)
         self.callback.best_value = best_value
         self.callback.best_epoch = best_epoch
         self.ckpt_path = self.callback.save_checkpoint(best_epoch)
@@ -460,6 +514,11 @@ class Recommender:
                 self.config[k] = deep_update(self.config[k], v)
         self.run_mode = run_mode
         self._train_data = train_data
+
+        prec = str(self.config["train"].get("precision", "fp32")).lower()
+        if prec in ("bf16", "bfloat16"):
+            # one-pass bf16 MXU matmuls for f32 operands (params stay f32)
+            jax.config.update("jax_default_matmul_precision", "bfloat16")
 
         self._init_model(train_data)
         self._init_parameter(train_data)
