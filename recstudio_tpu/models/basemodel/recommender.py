@@ -459,7 +459,7 @@ class Recommender:
         best_net = cp(self.states["net"]) if self._block_with_net else {}
         best_metric = jnp.asarray(-np.inf if mode_max else np.inf, jnp.float32)
         run_rng = self.next_rng()
-        e0, counter, stop = 0, 0, False
+        e0, counter, stop = getattr(self, "_start_epoch", 0), 0, False
         best_value = float("-inf") if mode_max else float("inf")
         best_epoch = -1
         while e0 < epochs and not stop:
@@ -506,7 +506,7 @@ class Recommender:
     # fit / evaluate
     # ------------------------------------------------------------------
     def fit(self, train_data, val_data=None, run_mode: str = "light",
-            config: Dict = None, **kwargs):
+            config: Dict = None, resume_from: Optional[str] = None, **kwargs):
         if config is not None:
             self.config = deep_update(self.config, config)
         for k, v in (kwargs or {}).items():
@@ -553,6 +553,11 @@ class Recommender:
         if self.optimizers and self.optimizers[0].get("optimizer") is not None \
                 and self._supports_scan_epoch(train_data):
             self._setup_scan_epoch(train_data, self.optimizers[0]["optimizer"])
+        self._start_epoch = 0
+        if resume_from is not None:
+            payload = self.load_checkpoint(resume_from, restore_optimizer=True)
+            self._start_epoch = int(payload.get("epoch", -1)) + 1
+            self.logger.info(f"resumed from {resume_from} at epoch {self._start_epoch}")
         self.logger.info(f"{type(self).__name__} config:\n"
                          + color_dict_normal(self.config))
         self._init_tensorboard(train_data.name)
@@ -607,7 +612,8 @@ class Recommender:
         prof_dir = self.config["train"].get("profiler_path")
         prof_epochs = int(self.config["train"].get("profiler_epochs", 2))
         try:
-            for nepoch in range(self.config["train"]["epochs"]):
+            for nepoch in range(getattr(self, "_start_epoch", 0),
+                                self.config["train"]["epochs"]):
                 if prof_dir and nepoch == 1:  # skip the compile epoch
                     jax.profiler.start_trace(prof_dir)
                 t0 = time.time()
@@ -802,6 +808,9 @@ class Recommender:
         self.params, self.states = cp(snap[0]), cp(snap[1])
 
     def save_checkpoint(self, path: str, epoch: int = -1, metric: Dict = None):
+        """Full-fidelity checkpoint: params + states + optimizer states +
+        RNG counter + epoch, so training resumes exactly (the reference only
+        persists model weights, reference callbacks.py:67-73)."""
         from flax.serialization import to_bytes
         payload = {
             "config": self.config,
@@ -810,18 +819,26 @@ class Recommender:
             "metric": metric or {},
             "params": to_bytes(self.params),
             "states": to_bytes(self.states) if self.states else None,
+            "opt_states": [to_bytes(o) if o is not None else None
+                           for o in self.opt_states] if self.opt_states else None,
+            "rng_counter": self._rng_counter,
         }
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "wb") as f:
             pickle.dump(payload, f)
 
-    def load_checkpoint(self, path: str):
+    def load_checkpoint(self, path: str, restore_optimizer: bool = False):
         from flax.serialization import from_bytes
         with open(path, "rb") as f:
             payload = pickle.load(f)
         self.params = from_bytes(self.params, payload["params"])
         if payload.get("states") and self.states:
             self.states = from_bytes(self.states, payload["states"])
+        if restore_optimizer and payload.get("opt_states") and self.opt_states:
+            self.opt_states = [
+                from_bytes(cur, blob) if (blob is not None and cur is not None) else cur
+                for cur, blob in zip(self.opt_states, payload["opt_states"])]
+            self._rng_counter = int(payload.get("rng_counter", self._rng_counter))
         return payload
 
     # convenience

@@ -30,3 +30,28 @@ def test_block_fit_best_epoch_tracked():
                       verbose=False)
     assert rec.callback.best_epoch >= 0
     assert np.isfinite(rec.callback.best_value)
+
+
+def test_checkpoint_resume_continues_training():
+    import tempfile, os
+    from recstudio_tpu.data import TripletDataset
+    from recstudio_tpu.utils import get_model, seed_everything
+    seed_everything(11)
+    cls, conf = get_model("BPR")
+    conf["train"].update(epochs=3, batch_size=512)
+    conf["eval"].update(batch_size=128, cutoff=[5], val_metrics=["ndcg"],
+                        test_metrics=["ndcg"], topk=20)
+    ds = TripletDataset("ml-100k")
+    trn, val, tst = ds.build(**conf["data"])
+    m1 = cls(conf)
+    m1.fit(trn, val, run_mode="light")
+    path = os.path.join(tempfile.mkdtemp(), "resume.ckpt")
+    m1.save_checkpoint(path, epoch=2)
+    # resume into more epochs: optimizer moments + rng counter restored
+    conf2 = {**conf, "train": {**conf["train"], "epochs": 6}}
+    m2 = cls(conf2)
+    m2.fit(trn, val, run_mode="light", resume_from=path)
+    assert m2._start_epoch == 3
+    res = m2.evaluate(tst, verbose=False)
+    import numpy as np
+    assert np.isfinite(res["ndcg@5"])
