@@ -125,6 +125,16 @@ class Recommender:
         method = self.config["train"].get("init_method") or "xavier_normal"
         init_range = self.config["train"].get("init_range", 0.02)
         self.params = init_parameters(params, self.next_rng(), method, init_range)
+        self._mesh = self._maybe_make_mesh()
+        if self._mesh is not None:
+            from ...parallel import param_shardings
+            shard_emb = self._mesh.shape["mp"] > 1
+            self.params = jax.device_put(
+                self.params, param_shardings(self.params, self._mesh,
+                                             shard_embeddings=shard_emb))
+            self.logger.info(
+                f"mesh dp={self._mesh.shape['dp']} mp={self._mesh.shape['mp']}"
+                + (" (embedding tables row-sharded)" if shard_emb else ""))
         if aux:
             # non-param flax collections (e.g. batch_stats): kept in states and
             # recalibrated before evaluation (see _refresh_net_state)
@@ -133,6 +143,28 @@ class Recommender:
 
     def _init_variables(self, batch):
         raise NotImplementedError
+
+    def _maybe_make_mesh(self):
+        """Build the training mesh from ``train.mesh: {dp: N, mp: M}`` or the
+        ``accelerator: dp`` shorthand. Parameters get sharded at init, so the
+        optimizer state inherits the layout and GSPMD partitions every jitted
+        step (batch over dp, row-sharded tables over mp) with XLA-inserted
+        collectives — the reference's DDP/DataParallel replacement."""
+        mesh_conf = self.config["train"].get("mesh")
+        acc = str(self.config["train"].get("accelerator", "")).lower()
+        if not mesh_conf and not (acc == "dp" and jax.device_count() > 1):
+            return None
+        from ...parallel import make_mesh
+        if mesh_conf:
+            dp = int(mesh_conf.get("dp", 0)) or None
+            mp = int(mesh_conf.get("mp", 1))
+        else:
+            dp, mp = jax.device_count(), 1
+        try:
+            return make_mesh(dp=dp, mp=mp)
+        except AssertionError as e:
+            self.logger.warning(f"mesh config ignored: {e}")
+            return None
 
     # ------------------------------------------------------------------
     # optimizers
@@ -288,17 +320,15 @@ class Recommender:
         # data parallelism: constrain each scan batch to be sharded over the
         # 'dp' mesh axis; GSPMD partitions the step and psums the gradients
         dp_sharding = None
-        if str(self.config["train"].get("accelerator", "")).lower() == "dp" \
-                and jax.device_count() > 1 and bs % jax.device_count() == 0:
-            from ...parallel import make_mesh
+        mesh = getattr(self, "_mesh", None)
+        if mesh is not None and mesh.shape["dp"] > 1 and bs % mesh.shape["dp"] == 0:
             from jax.sharding import NamedSharding, PartitionSpec
-            mesh = make_mesh(dp=jax.device_count(), mp=1)
             dp_sharding = {
                 "mesh": mesh,
                 "spec": lambda x: NamedSharding(
                     mesh, PartitionSpec("dp", *([None] * (x.ndim - 1))))
             }
-            self.logger.info(f"data-parallel over {jax.device_count()} devices")
+            self.logger.info(f"data-parallel batches over dp={mesh.shape['dp']}")
 
         def _constrain(batch):
             if dp_sharding is None:

@@ -37,6 +37,9 @@ def _is_embedding_path(path) -> bool:
 def param_shardings(params, mesh: Mesh, shard_embeddings: bool = True):
     """Sharding tree: embedding tables row-sharded over 'mp', rest replicated."""
     def rule(path, leaf):
+        # jit input shardings must divide evenly: tables whose row count is
+        # not a multiple of mp stay replicated (pad num_embeddings up to a
+        # multiple of mp to shard them)
         if shard_embeddings and _is_embedding_path(path) and leaf.ndim >= 2 \
                 and leaf.shape[0] % mesh.shape["mp"] == 0:
             return NamedSharding(mesh, P("mp", *([None] * (leaf.ndim - 1))))

@@ -138,3 +138,26 @@ def test_launch_helpers_single_host():
     g = launch.global_batch(batch, mesh)
     assert g["x"].shape == (16, 1)
     np.testing.assert_array_equal(np.asarray(g["y"]), batch["y"])
+
+
+def test_mesh_config_training_end_to_end():
+    """train.mesh {dp:4, mp:2}: row-sharded tables + dp-sharded batches
+    through the full fit/evaluate flow on the virtual 8-device mesh."""
+    import numpy as np
+    from recstudio_tpu.data import TripletDataset
+    from recstudio_tpu.utils import get_model, seed_everything
+    seed_everything(5)
+    cls, conf = get_model("BPR")
+    conf["train"].update(epochs=2, batch_size=512, mesh={"dp": 4, "mp": 2})
+    conf["eval"].update(batch_size=64, cutoff=[5], val_metrics=["ndcg"],
+                        test_metrics=["ndcg", "recall"], topk=20)
+    ds = TripletDataset("ml-100k")
+    trn, val, tst = ds.build(**conf["data"])
+    model = cls(conf)
+    model.fit(trn, val, run_mode="light")
+    # the user table (944 rows, divisible by mp=2) must be row-sharded
+    emb = model.params["query_encoder"]["embedding"]
+    spec = getattr(emb, "sharding", None) and emb.sharding.spec
+    assert "mp" in str(spec), f"table not mp-sharded: {spec}"
+    res = model.evaluate(tst, verbose=False)
+    assert np.isfinite(res["ndcg@5"]) and res["recall@5"] >= 0
