@@ -200,7 +200,40 @@ class Recommender:
         if sched == "exponential":
             chain.append(optax.scale_by_schedule(
                 lambda step: 0.99 ** (step // max(self._steps_per_epoch, 1))))
+        if sched == "onplateau":
+            # torch ReduceLROnPlateau equivalent: the learning rate lives in
+            # the optimizer state (inject_hyperparams) and the fit loop
+            # scales it when the validation metric plateaus
+            chain.append(optax.inject_hyperparams(
+                lambda learning_rate: optax.scale(learning_rate))(
+                learning_rate=1.0))
         return optax.chain(*chain)
+
+    def _maybe_reduce_lr_on_plateau(self, improved: bool) -> None:
+        """Scale the injected LR multiplier by ``plateau_factor`` after
+        ``plateau_patience`` validations without improvement."""
+        if self.config["train"].get("scheduler") != "onplateau":
+            return
+        if improved:
+            self._plateau_counter = 0
+            return
+        self._plateau_counter = getattr(self, "_plateau_counter", 0) + 1
+        patience = int(self.config["train"].get("plateau_patience", 3))
+        if self._plateau_counter < patience:
+            return
+        self._plateau_counter = 0
+        factor = float(self.config["train"].get("plateau_factor", 0.1))
+        for i, st in enumerate(self.opt_states):
+            if st is None:
+                continue
+            inner = list(st)
+            for j, s in enumerate(inner):
+                if hasattr(s, "hyperparams") and "learning_rate" in s.hyperparams:
+                    new_lr = s.hyperparams["learning_rate"] * factor
+                    inner[j] = s._replace(
+                        hyperparams={**s.hyperparams, "learning_rate": new_lr})
+                    self.logger.info(f"plateau: lr multiplier -> {float(new_lr):.2e}")
+            self.opt_states[i] = type(st)(inner) if isinstance(st, tuple) else inner
 
     def _get_optimizers(self) -> List[Dict[str, Any]]:
         tc = self.config["train"]
@@ -514,6 +547,8 @@ class Recommender:
                     if counter >= patience:
                         stop = True
                         break
+            # plateau LR reduction applies from the next block onward
+            self._maybe_reduce_lr_on_plateau(counter == 0)
             self.logged_metrics["examples_per_s"] = \
                 getattr(self, "_steps_per_epoch", 0) * \
                 self.config["train"].get("batch_size", 0) * k / max(dt, 1e-9)
@@ -679,6 +714,9 @@ class Recommender:
                     except ImportError:
                         pass
                 stop = self.callback(nepoch, metrics)
+                if self.val_check:
+                    self._maybe_reduce_lr_on_plateau(
+                        getattr(self.callback, "counter", 0) == 0)
                 if stop:
                     self.logger.info(
                         f"early stopped at epoch {nepoch}; "
