@@ -656,6 +656,12 @@ class Recommender:
                 save_dir=self.config["eval"].get("save_path"),
                 patience=self.config["train"].get("early_stop_patience", 10),
                 mode=self.config["train"].get("early_stop_mode", "max"))
+        interval = self.config["eval"].get("save_interval")
+        if interval:
+            from ...utils.callbacks import IntervalCallback
+            return IntervalCallback(self, every_n_epoch=int(interval),
+                                    dataset_name=dataset_name,
+                                    save_dir=self.config["eval"].get("save_path"))
         return SaveLastCallback(self, dataset_name,
                                 save_dir=self.config["eval"].get("save_path"))
 

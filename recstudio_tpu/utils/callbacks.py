@@ -86,5 +86,8 @@ class IntervalCallback(SaveLastCallback):
 
     def __call__(self, epoch: int, metrics: Dict[str, Any]) -> bool:
         if (epoch + 1) % self.every_n_epoch == 0:
-            self.save_checkpoint(epoch)
+            os.makedirs(self.save_dir, exist_ok=True)
+            path = os.path.join(self.save_dir,
+                                f"epoch-{epoch}-{self.filename}")
+            self.model.save_checkpoint(path, epoch=epoch, metric={})
         return False

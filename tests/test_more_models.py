@@ -75,9 +75,10 @@ def test_kg_cfkg():
     assert np.isfinite(res["ndcg@5"])
 
 
-def test_din_ranker():
+@pytest.mark.parametrize("model", ["DIN", "DIEN"])
+def test_seq_rankers(model):
     np.random.seed(42)
-    rec, ds, res = run("DIN", "ml-100k",
+    rec, ds, res = run(model, "ml-100k",
                        model_config={"train": {"epochs": 1, "batch_size": 512},
                                      "eval": {"batch_size": 128}},
                        verbose=False)
