@@ -102,7 +102,32 @@ class BaseRetriever(Recommender):
         return InnerProductScorer()
 
     def _get_sampler(self, train_data):
-        return UniformSampler(train_data.num_items)
+        """Build the sampler named by ``train.sampler`` (the reference
+        documents the same choices in basemodel.yaml:55 but hardcodes
+        UniformSampler per model — here the config is honored)."""
+        from ...ann import sampler as S
+        name = str(self.config["train"].get("sampler") or "uniform").lower()
+        n = train_data.num_items
+        k = int(self.config["train"].get("sampler_num_clusters", 32))
+        if name in ("uniform", "none"):
+            return UniformSampler(n)
+        if name == "masked_uniform":
+            return MaskedUniformSampler(n)
+        if name == "pop":
+            return S.PopularSamplerModel(train_data.item_freq)
+        if name == "midx-uni":
+            return S.MIDXSamplerUniform(n, k)
+        if name == "midx-pop":
+            return S.MIDXSamplerPop(train_data.item_freq, k)
+        if name == "cluster-uni":
+            return S.ClusterSamplerUniform(n, k)
+        if name == "cluster-pop":
+            return S.ClusterSamplerPop(train_data.item_freq, k)
+        if name == "lsh":
+            return S.LSHSampler(n, self.embed_dim,
+                                n_bits=int(self.config["train"].get("lsh_bits", 4)),
+                                n_table=int(self.config["train"].get("lsh_tables", 8)))
+        raise ValueError(f"unknown train.sampler: {name}")
 
     def _get_loss_func(self):
         return BPRLoss()

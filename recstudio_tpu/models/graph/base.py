@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ann.sampler import UniformSampler
 from ..basemodel import BaseRetriever
 from ..init import init_parameters
 from ..loss_func import BPRLoss
@@ -87,8 +86,6 @@ class BaseGraphRetriever(BaseRetriever):
         return user_all[batch[self.fuid]]
 
     # -- overridden pure paths ------------------------------------------
-    def _get_sampler(self, train_data):
-        return UniformSampler(train_data.num_items)
 
     def _get_loss_func(self):
         return BPRLoss()

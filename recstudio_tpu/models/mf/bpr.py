@@ -3,7 +3,6 @@
 Reference: recstudio/model/mf/bpr.py (user/item embedding towers, inner-product
 scorer, BPR loss, uniform negatives).
 """
-from ...ann.sampler import UniformSampler
 from ...data.dataset import TripletDataset
 from ..basemodel import BaseRetriever
 from ..loss_func import BPRLoss
@@ -29,5 +28,3 @@ class BPR(BaseRetriever):
     def _get_loss_func(self):
         return BPRLoss()
 
-    def _get_sampler(self, train_data):
-        return UniformSampler(train_data.num_items)

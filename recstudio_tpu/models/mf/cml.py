@@ -4,7 +4,6 @@ Reference: recstudio/model/mf/cml.py.
 """
 import jax.numpy as jnp
 
-from ...ann.sampler import UniformSampler
 from ...data.advance_dataset import ALSDataset
 from ..basemodel import BaseRetriever
 from ..loss_func import PairwiseLoss
@@ -50,5 +49,3 @@ class CML(BaseRetriever):
                       self.config["model"]["use_rank_weight"],
                       train_data.num_items)
 
-    def _get_sampler(self, train_data):
-        return UniformSampler(train_data.num_items)

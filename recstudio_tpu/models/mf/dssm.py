@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import flax.linen as nn
 
-from ...ann.sampler import UniformSampler
 from ...data.dataset import TripletDataset
 from ..basemodel import BaseRetriever
 from ..loss_func import BinaryCrossEntropyLoss
@@ -69,5 +68,3 @@ class DSSM(BaseRetriever):
     def _get_loss_func(self):
         return BinaryCrossEntropyLoss()
 
-    def _get_sampler(self, train_data):
-        return UniformSampler(train_data.num_items)

@@ -5,7 +5,6 @@ Reference: recstudio/model/mf/logisticmf.py.
 import jax
 import jax.numpy as jnp
 
-from ...ann.sampler import UniformSampler
 from ...data.dataset import TripletDataset
 from ..basemodel import BaseRetriever
 from ..loss_func import PairwiseLoss
@@ -41,5 +40,3 @@ class LogisticMF(BaseRetriever):
     def _get_loss_func(self):
         return LogitLoss(self.config["train"]["alpha"])
 
-    def _get_sampler(self, train_data):
-        return UniformSampler(train_data.num_items)

@@ -2,7 +2,6 @@
 
 Reference: recstudio/model/mf/ncf.py.
 """
-from ...ann.sampler import UniformSampler
 from ...data.dataset import TripletDataset
 from ..basemodel import BaseRetriever
 from ..loss_func import BinaryCrossEntropyLoss
@@ -43,5 +42,3 @@ class NCF(BaseRetriever):
     def _get_loss_func(self):
         return BinaryCrossEntropyLoss()
 
-    def _get_sampler(self, train_data):
-        return UniformSampler(train_data.num_items)

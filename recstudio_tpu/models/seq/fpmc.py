@@ -8,7 +8,6 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ...ann.sampler import UniformSampler
 from ...data.dataset import SeqDataset
 from ..basemodel import BaseRetriever
 from ..loss_func import BPRLoss
@@ -53,5 +52,3 @@ class FPMC(BaseRetriever):
     def _get_loss_func(self):
         return BPRLoss()
 
-    def _get_sampler(self, train_data):
-        return UniformSampler(train_data.num_items)

@@ -9,7 +9,6 @@ from typing import Any
 
 import flax.linen as nn
 
-from ...ann.sampler import UniformSampler
 from ...data.dataset import SeqDataset
 from ..basemodel import BaseRetriever
 from ..loss_func import BPRLoss
@@ -58,5 +57,3 @@ class GRU4Rec(BaseRetriever):
     def _get_loss_func(self):
         return BPRLoss()
 
-    def _get_sampler(self, train_data):
-        return UniformSampler(train_data.num_items)

@@ -12,7 +12,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ann.sampler import UniformSampler
 from ...data.dataset import SeqDataset
 from ..basemodel import BaseRetriever
 from ..loss_func import BPRLoss
@@ -80,5 +79,3 @@ class HGN(BaseRetriever):
     def _get_loss_func(self):
         return BPRLoss()
 
-    def _get_sampler(self, train_data):
-        return UniformSampler(train_data.num_items)

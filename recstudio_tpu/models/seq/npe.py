@@ -10,7 +10,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ann.sampler import UniformSampler
 from ...data.dataset import SeqDataset
 from ..basemodel import BaseRetriever
 from ..loss_func import BinaryCrossEntropyLoss
@@ -75,5 +74,3 @@ class NPE(BaseRetriever):
     def _get_loss_func(self):
         return BinaryCrossEntropyLoss()
 
-    def _get_sampler(self, train_data):
-        return UniformSampler(train_data.num_items)

@@ -11,7 +11,6 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ...ann.sampler import UniformSampler
 from ...data.dataset import SeqDataset
 from ..basemodel import BaseRetriever
 from ..loss_func import BinaryCrossEntropyLoss
@@ -92,5 +91,3 @@ class SASRec(BaseRetriever):
     def _get_loss_func(self):
         return BinaryCrossEntropyLoss()
 
-    def _get_sampler(self, train_data):
-        return UniformSampler(train_data.num_items)

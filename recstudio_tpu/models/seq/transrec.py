@@ -12,7 +12,6 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ...ann.sampler import UniformSampler
 from ...data.dataset import SeqDataset
 from ..basemodel import BaseRetriever
 from ..loss_func import BPRLoss
@@ -62,5 +61,3 @@ class TransRec(BaseRetriever):
     def _get_loss_func(self):
         return BPRLoss()
 
-    def _get_sampler(self, train_data):
-        return UniformSampler(train_data.num_items)
