@@ -836,17 +836,27 @@ class Recommender:
             self._eval_cache = {}
         if key not in self._eval_cache:
             stacked, scan_eval = self._eval_scan_core(data, metric_names, cutoffs)
-            self._eval_cache[key] = (stacked, jax.jit(scan_eval))
+            keys_cell: List[str] = []
+
+            def packed_eval(params, stacked, states):
+                sums, weight, globs = scan_eval(params, stacked, states)
+                keys_cell[:] = sorted(sums)  # static, captured at trace time
+                packed = jnp.stack([sums[k] for k in keys_cell] + [weight])
+                return packed, globs
+
+            self._eval_cache[key] = (stacked, jax.jit(packed_eval), keys_cell)
         return self._eval_cache[key]
 
     def _eval_epoch(self, data, metric_names, cutoffs) -> Dict[str, float]:
         """Evaluate a split in ONE device dispatch: eval batches are stacked
-        once ([nbatch, B, ...]) and scanned on device; only the final metric
-        sums come back to the host."""
-        stacked, scan_eval = self._eval_scan_parts(data, metric_names, cutoffs)
-        sums, weight, globs = scan_eval(self.params, stacked, self.states)
-        weight = float(weight)
-        out = {k: float(v) / max(weight, 1.0) for k, v in sums.items()}
+        once ([nbatch, B, ...]) and scanned on device; the metric sums come
+        back in a single packed transfer (each read is a pipeline-serializing
+        round trip on remote runtimes)."""
+        stacked, packed_eval, keys = self._eval_scan_parts(data, metric_names, cutoffs)
+        packed, globs = packed_eval(self.params, stacked, self.states)
+        packed = np.asarray(packed)
+        weight = float(packed[-1])
+        out = {k: float(packed[i]) / max(weight, 1.0) for i, k in enumerate(keys)}
         out.update(self._global_metrics(metric_names, globs))
         return out
 
