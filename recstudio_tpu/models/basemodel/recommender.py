@@ -585,6 +585,18 @@ class Recommender:
             # one-pass bf16 MXU matmuls for f32 operands (params stay f32)
             jax.config.update("jax_default_matmul_precision", "bfloat16")
 
+        # persistent XLA compilation cache: repeat runs of the same model/
+        # shape skip the (minutes-long for epoch-block programs) compile
+        cache_dir = self.config["train"].get(
+            "compile_cache", os.path.expanduser("~/.recstudio_tpu/jax_cache"))
+        if cache_dir and not getattr(Recommender, "_cc_set", False):
+            try:
+                jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+                Recommender._cc_set = True
+            except Exception as e:
+                self.logger.warning(f"compilation cache disabled: {e}")
+
         self._init_model(train_data)
         self._init_parameter(train_data)
         if val_data is not None:
