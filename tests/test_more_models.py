@@ -126,3 +126,15 @@ def test_multitask_models(model, multitask_dataset):
     for r in ("click", "like"):
         assert np.isfinite(res[f"{r}_auc"])
         assert np.isfinite(res[f"{r}_logloss"])
+
+
+@pytest.mark.parametrize("model", ["IPSBPR", "PDA"])
+def test_debias_models(model):
+    np.random.seed(42)
+    rec, ds, res = run(model, "ml-100k",
+                       model_config={"train": {"epochs": 2, "batch_size": 512},
+                                     "eval": {"batch_size": 128, "cutoff": [5],
+                                              "val_metrics": ["ndcg"],
+                                              "test_metrics": ["ndcg"], "topk": 20}},
+                       verbose=False)
+    assert np.isfinite(res["ndcg@5"])
