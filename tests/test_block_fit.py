@@ -55,3 +55,11 @@ def test_checkpoint_resume_continues_training():
     res = m2.evaluate(tst, verbose=False)
     import numpy as np
     assert np.isfinite(res["ndcg@5"])
+
+
+def test_fixed_seed_determinism():
+    """Two fits with the same seed produce identical metrics (functional
+    engine + stateless PRNG schedule)."""
+    r1 = run("BPR", "ml-100k", model_config=_overrides(3), verbose=False)[2]
+    r2 = run("BPR", "ml-100k", model_config=_overrides(3), verbose=False)[2]
+    assert r1 == r2, (r1, r2)
