@@ -413,8 +413,7 @@ class Recommender:
     def _block_fit_eligible(self, val_data) -> bool:
         if (self._block_size() <= 1 or not self.val_check or val_data is None
                 or getattr(self, "_scan_epoch_core", None) is None
-                or self._scan_epoch_fn is None
-                or isinstance(self.frating, list)):
+                or self._scan_epoch_fn is None):
             return False
         if type(self).training_epoch is not Recommender.training_epoch:
             return False  # model supplies its own epoch procedure
@@ -442,9 +441,21 @@ class Recommender:
         if self.val_metric in sums:
             return sums[self.val_metric] / jnp.maximum(weight, 1.0)
         base = self.val_metric.split("@")[0]
+        if isinstance(self.frating, list):
+            # multitask monitor: "<task>_<metric>" (task names may contain _)
+            for r in self.frating:
+                if self.val_metric == f"{r}_{base.split('_')[-1]}" \
+                        or self.val_metric.startswith(f"{r}_"):
+                    base = self.val_metric[len(r) + 1:].split("@")[0]
+                    task = r
+                    break
+            else:
+                raise KeyError(f"val metric {self.val_metric} has no task prefix")
+        else:
+            task = self.frating
         global_m = dict(eval_mod.get_global_metrics([base]))
-        if globs is not None and base in global_m and not isinstance(self.frating, list):
-            g = globs[self.frating]
+        if globs is not None and base in global_m:
+            g = globs[task]
             return global_m[base](g["score"].reshape(-1), g["label"].reshape(-1),
                                   g["weight"].reshape(-1))
         raise KeyError(f"val metric {self.val_metric} not computable on device")
