@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ... import eval as eval_mod
-from ...ann.sampler import MaskedUniformSampler, Sampler, UniformSampler
+from ...ann.sampler import (MaskedUniformSampler, RetrieverSampler, Sampler,
+                            UniformSampler)
 from ..init import init_parameters
 from ..loss_func import BPRLoss, FullScoreLoss
 from ..module import Embedding
@@ -353,6 +354,10 @@ class BaseRetriever(Recommender):
                 kwargs = {}
                 if isinstance(self.sampler, MaskedUniformSampler):
                     kwargs["user_hist"] = user_hist
+                if isinstance(self.sampler, RetrieverSampler):
+                    # the wrapped retriever encodes its own query from the
+                    # batch (reference ann/sampler.py:71-76)
+                    kwargs["batch"] = batch
                 out = self.sampler(sampler_state, rng, query, num_neg[1],
                                    pos_items=pos_items, **kwargs)
             log_pos_prob, neg_id, log_neg_prob = out
@@ -538,6 +543,47 @@ class BaseRetriever(Recommender):
 
     def validation_step(self, params, batch, states):
         pass  # handled by _make_eval_step
+
+    # ------------------------------------------------------------------
+    # proposal-distribution protocol (consumed by ann.RetrieverSampler):
+    # a trained retriever freezes itself into a sampling proposal — an
+    # item-vector snapshot plus parameters — that another model uses as its
+    # negative sampler (IRGAN-style adversarial sampling, reference
+    # ann/sampler.py:61-78). The reference's analogous ``build_ann_index``
+    # is called but never defined (reference baseretriever.py:140); this is
+    # the working version.
+    # ------------------------------------------------------------------
+    def make_sampling_state(self) -> Dict[str, Any]:
+        """Snapshot (params + encoded catalog + net collections) of the
+        current retriever, consumable by :meth:`sampling_from_state`."""
+        if not hasattr(self, "_item_vec_fn"):
+            self._item_vec_fn = jax.jit(
+                lambda p, net: self._item_vectors(p, {"net": net} if net else {}))
+        net = self.states.get("net")
+        return {"params": self.params,
+                "item_vector": self._item_vec_fn(self.params, net),
+                "net": net or {}}
+
+    def sampling_from_state(self, state, rng, batch_or_query, num_neg,
+                            method: str = "brute", t: float = 1.0,
+                            pos_items=None, user_hist=None
+                            ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Sample negatives from a frozen snapshot made by
+        :meth:`make_sampling_state` — jit-safe (pure in ``state``)."""
+        states: Dict[str, Any] = {"item_vector": state["item_vector"]}
+        if state.get("net"):
+            states["net"] = state["net"]
+        if isinstance(batch_or_query, dict):
+            batch, query = dict(batch_or_query), None
+        else:
+            batch, query = {}, batch_or_query
+        if pos_items is not None:
+            batch.setdefault(self.fiid, pos_items)
+        if user_hist is not None:
+            batch.setdefault("user_hist", user_hist)
+        return self.sampling(state["params"], batch, rng, states, num_neg,
+                             method=method, t=t,
+                             excluding_hist=user_hist is not None, query=query)
 
     # ------------------------------------------------------------------
     # inference helpers (reference baseretriever.py:374-397 public API)

@@ -109,3 +109,47 @@ def test_midx_sampling_distribution_matches_proposal():
     # loose correlation check: high-probability items should be sampled more
     corr = np.corrcoef(p, emp)[0, 1]
     assert corr > 0.5
+
+
+def test_retriever_sampler_protocol(ml100k_splits):
+    """RetrieverSampler wraps a trained retriever as the proposal distribution
+    (reference ann/sampler.py:61-78). The protocol methods
+    make_sampling_state / sampling_from_state live on BaseRetriever — the
+    working version of the reference's never-defined build_ann_index
+    (reference baseretriever.py:140)."""
+    from recstudio_tpu.ann.sampler import RetrieverSampler
+    from recstudio_tpu.utils import get_model, seed_everything
+
+    trn, val, tst = ml100k_splits
+    model_class, conf = get_model("BPR")
+    conf["train"].update(epochs=1, batch_size=1024)
+    seed_everything(7)
+    teacher = model_class(conf)
+    teacher.fit(trn, None, run_mode="light")
+
+    sampler = RetrieverSampler(trn.num_items, retriever=teacher,
+                               method="brute", t=2.0)
+    state = sampler.update(jax.random.PRNGKey(0))
+    assert "item_vector" in state and "params" in state
+
+    loader = trn.train_loader(batch_size=64, shuffle=False)
+    batch = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
+    log_pos, neg_id, log_neg = sampler(
+        state, jax.random.PRNGKey(1), None, 5,
+        pos_items=batch[trn.fiid], batch=batch)
+    assert neg_id.shape == (64, 5)
+    assert bool(jnp.all((neg_id >= 1) & (neg_id < trn.num_items)))
+    # neg log-probs must equal the tempered log-softmax of the frozen scores
+    q = teacher._apply(state["params"], "encode_query", batch[trn.fuid])
+    scores = teacher._apply(state["params"], "score", q, state["item_vector"]) / 2.0
+    expected = jnp.take_along_axis(jax.nn.log_softmax(scores, -1), neg_id - 1, -1)
+    np.testing.assert_allclose(np.asarray(log_neg), np.asarray(expected),
+                               rtol=1e-4, atol=1e-5)
+
+    # and it must drive end-to-end training as another model's negative
+    # sampler (the IRGAN wiring, reference mf/irgan.py:38)
+    conf2 = get_model("BPR")[1]
+    conf2["train"].update(epochs=2, batch_size=512, negative_count=2)
+    student = model_class(conf2, sampler=sampler)
+    student.fit(trn, None, run_mode="light")
+    assert np.isfinite(float(student.training_epoch(0)))
