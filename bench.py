@@ -1,11 +1,14 @@
-"""Benchmark: BPR/ml-100k training throughput on one chip.
+"""Benchmark suite: per-model training throughput + retrieval eval QPS, 1 chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference README quick-start log — 82,520 interactions/epoch at
-0.42 s/epoch on a 2022 GPU ≈ 200k examples/s (BASELINE.md).
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "extra"}.
+Headline: BPR/ml-100k training throughput vs the reference README anchor —
+82,520 interactions/epoch at 0.42 s/epoch on a 2022 GPU ≈ 200k examples/s
+(BASELINE.md). ``extra`` carries the wider sweep the headline can't: a
+transformer (SASRec), a graph model (LightGCN), a CTR ranker (DeepFM), and
+the full-catalog evaluation QPS at the measured Recall@20.
 
-Measurement method: the training loop is transfer-free (losses stay on
-device); the timed window dispatches K epochs and ends with a single host
+Measurement method: training loops are transfer-free (losses stay on
+device); each timed window dispatches K epochs and ends with a single host
 read of the final loss. On remote TPU runtimes that read is the only
 reliable synchronization point (block_until_ready can return before device
 completion), and it transitively waits on every prior epoch through the
@@ -17,42 +20,76 @@ import time
 import numpy as np
 
 BASELINE_EXAMPLES_PER_S = 200_000.0
+# reference validation pass: 0.18-0.32 s for 943 ml-100k users (README.md:199)
+BASELINE_EVAL_QPS = 943 / 0.25
+
+
+def _build(name, train_overrides=None):
+    from recstudio_tpu.utils import get_model, seed_everything
+    model_class, conf = get_model(name)
+    conf["train"]["epochs"] = 1
+    conf["train"]["benchmark_mode"] = True
+    conf["train"].update(train_overrides or {})
+    seed_everything(2022)
+    ds = model_class._get_dataset_class()("ml-100k")
+    trn, val, tst = ds.build(**conf["data"])
+    model = model_class(conf)
+    model.fit(trn, None, run_mode="light")
+    return model, trn, tst
+
+
+def bench_train(name, timed_epochs, train_overrides=None):
+    """examples/s over `timed_epochs` read-fenced epochs."""
+    model, trn, _ = _build(name, train_overrides)
+    n_examples = len(trn.data_index)
+    for _ in range(3):  # settle compile + transport
+        loss = model.training_epoch(0)
+    assert np.isfinite(float(loss)), f"{name} warmup loss not finite"
+    t0 = time.time()
+    losses = [model.training_epoch(0) for _ in range(timed_epochs)]
+    final = float(losses[-1])  # sole sync point, inside the window
+    dt = time.time() - t0
+    assert np.isfinite(final), f"{name} loss not finite"
+    return n_examples * timed_epochs / dt
+
+
+def bench_eval_qps(name="BPR", repeats=20):
+    """Full-catalog top-k eval passes/s -> queries/s, plus the Recall@20 the
+    number was measured at (BASELINE.md: 'queries/s at fixed Recall@20')."""
+    model, trn, tst = _build(name, {"epochs": 20})
+    for _ in range(20):
+        model.training_epoch(0)
+    n_queries = len(tst.data_index)
+    out = model._eval_epoch(tst, ["recall"], cutoffs=[20])  # compile + warm
+    t0 = time.time()
+    for _ in range(repeats):
+        out = model._eval_epoch(tst, ["recall"], cutoffs=[20])  # each call reads
+    dt = time.time() - t0
+    return n_queries * repeats / dt, float(out["recall@20"])
 
 
 def main():
     np.random.seed(42)
-    from recstudio_tpu.utils import get_model, seed_everything
-    model_class, conf = get_model("BPR")
-    conf["train"]["epochs"] = 1
-    conf["train"]["benchmark_mode"] = True
-    seed_everything(2022)
+    extra = {}
 
-    from recstudio_tpu.data import TripletDataset
-    ds = TripletDataset("ml-100k")
-    trn, val, tst = ds.build(**conf["data"])
-    n_examples = len(trn.data_index)
-
-    model = model_class(conf)
-    model.fit(trn, None, run_mode="light")  # builds + compiles (read-free)
-
-    # warm-up: a few epochs + one read settles compile and transport mode
-    for _ in range(3):
-        loss = model.training_epoch(0)
-    assert np.isfinite(float(loss))
-
-    n_epochs = 50
-    t0 = time.time()
-    losses = [model.training_epoch(0) for _ in range(n_epochs)]
-    final_loss = float(losses[-1])  # sole sync point, inside the window
-    dt = time.time() - t0
-    assert np.isfinite(final_loss)
-    examples_per_s = n_examples * n_epochs / dt
+    bpr = bench_train("BPR", 50)
+    extra["SASRec examples/s"] = round(bench_train("SASRec", 10), 1)
+    extra["LightGCN examples/s"] = round(bench_train("LightGCN", 20), 1)
+    extra["DeepFM examples/s"] = round(bench_train("DeepFM", 20), 1)
+    qps, r20 = bench_eval_qps("BPR")
+    extra["BPR eval qps (full catalog)"] = round(qps, 1)
+    extra["BPR eval recall@20"] = round(r20, 4)
+    extra["SASRec vs_baseline"] = round(extra["SASRec examples/s"] / BASELINE_EXAMPLES_PER_S, 3)
+    extra["LightGCN vs_baseline"] = round(extra["LightGCN examples/s"] / BASELINE_EXAMPLES_PER_S, 3)
+    extra["DeepFM vs_baseline"] = round(extra["DeepFM examples/s"] / BASELINE_EXAMPLES_PER_S, 3)
+    extra["eval qps vs_baseline"] = round(qps / BASELINE_EVAL_QPS, 3)
 
     print(json.dumps({
         "metric": "BPR/ml-100k train throughput (1 chip)",
-        "value": round(examples_per_s, 1),
+        "value": round(bpr, 1),
         "unit": "examples/s",
-        "vs_baseline": round(examples_per_s / BASELINE_EXAMPLES_PER_S, 3),
+        "vs_baseline": round(bpr / BASELINE_EXAMPLES_PER_S, 3),
+        "extra": extra,
     }))
 
 

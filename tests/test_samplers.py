@@ -111,6 +111,7 @@ def test_midx_sampling_distribution_matches_proposal():
     assert corr > 0.5
 
 
+@pytest.mark.slow
 def test_retriever_sampler_protocol(ml100k_splits):
     """RetrieverSampler wraps a trained retriever as the proposal distribution
     (reference ann/sampler.py:61-78). The protocol methods

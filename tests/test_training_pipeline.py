@@ -16,8 +16,18 @@ FAST_OVERRIDES = dict(
           "test_metrics": ["ndcg", "recall"], "topk": 20},
 )
 
-GRADIENT_MODELS = ["BPR", "PMF", "CML", "LogisticMF", "NCF"]
-CLOSED_FORM_MODELS = ["EASE", "ItemKNN", "SLIM", "WRMF"]
+# fast tier keeps one representative per path; the rest run in the slow
+# whole-zoo tier (tests/test_zoo.py) plus the quality assertions here
+_slow = pytest.mark.slow
+GRADIENT_MODELS = ["BPR",
+                   pytest.param("PMF", marks=_slow),
+                   pytest.param("CML", marks=_slow),
+                   pytest.param("LogisticMF", marks=_slow),
+                   pytest.param("NCF", marks=_slow)]
+CLOSED_FORM_MODELS = ["EASE",
+                      pytest.param("ItemKNN", marks=_slow),
+                      pytest.param("SLIM", marks=_slow),
+                      pytest.param("WRMF", marks=_slow)]
 
 
 @pytest.mark.parametrize("model", GRADIENT_MODELS)

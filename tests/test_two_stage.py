@@ -2,6 +2,9 @@
 during ranker training and stage-1 candidates at eval (reference
 basemodel/baseranker.py:89-99,141-154)."""
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 from recstudio_tpu.data import TripletDataset
 from recstudio_tpu.models.loss_func import BinaryCrossEntropyLoss
