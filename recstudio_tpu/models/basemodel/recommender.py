@@ -342,12 +342,26 @@ class Recommender:
             return False  # dataset-side negatives still go through the host path
         return True
 
+    def _device_data_budget(self) -> int:
+        """Byte budget for staging a data split in device memory. Splits
+        bigger than this run through the host-chunked paths (the reference
+        streams ml-20m-sized data via DataLoader, reference
+        data/dataset.py:1687-1734; here small splits stay fully device-
+        resident for the scan paths and big ones stream in chunks)."""
+        budget = self.config["train"].get("device_data_budget", "auto")
+        if isinstance(budget, str):
+            return 2 << 30  # auto: 2 GiB of the chip's HBM for staged data
+        return int(budget)
+
     def _setup_scan_epoch(self, train_data, optimizer):
         n = len(train_data.data_index)
         bs = int(self.config["train"]["batch_size"])
         nbatch = -(-n // bs)
-        arrays = train_data._get_pos_batch(np.arange(n))
-        arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+        arrays_host = train_data._get_pos_batch(np.arange(n))
+        nbytes = sum(np.asarray(v).nbytes for v in arrays_host.values())
+        if nbytes > self._device_data_budget():
+            return self._setup_chunked_epoch(train_data, optimizer, arrays_host)
+        arrays = {k: jnp.asarray(v) for k, v in arrays_host.items()}
         shuffle = bool(self.config["data"].get("shuffle", True))
 
         # data parallelism: constrain each scan batch to be sharded over the
@@ -395,6 +409,61 @@ class Recommender:
         self._scan_epoch_fn = jax.jit(epoch_fn, donate_argnums=(0, 1))
 
     # ------------------------------------------------------------------
+    # host-chunked epochs: when the train split exceeds the device-data
+    # budget, the epoch streams fixed-size chunks host->device; each chunk is
+    # one jitted scan over its batches (still read-free — losses stay on
+    # device until log time). Shuffling happens on the host so only the
+    # chunk in flight occupies HBM.
+    # ------------------------------------------------------------------
+    def _setup_chunked_epoch(self, train_data, optimizer, arrays_host):
+        n = len(train_data.data_index)
+        bs = int(self.config["train"]["batch_size"])
+        arrays_host = {k: np.asarray(v) for k, v in arrays_host.items()}
+        row_bytes = max(sum(v.nbytes for v in arrays_host.values()) // max(n, 1), 1)
+        batches_per_chunk = max(int(self._device_data_budget() // (row_bytes * bs)), 1)
+        chunk_rows = batches_per_chunk * bs
+        n_chunks = -(-n // chunk_rows)
+        shuffle = bool(self.config["data"].get("shuffle", True))
+        self.logger.info(
+            f"train split ({n} rows, {row_bytes * n / 2**30:.2f} GiB) exceeds "
+            f"device budget — streaming {n_chunks} chunks of {chunk_rows} rows")
+
+        def chunk_fn(params, opt_state, rng, chunk, states):
+            def body(carry, sel):
+                params, opt_state, i = carry
+                batch = {k: jax.lax.dynamic_slice_in_dim(v, sel, bs) for k, v in chunk.items()}
+                params, opt_state, loss = self._grad_step(
+                    optimizer, params, opt_state, batch, jax.random.fold_in(rng, i), states)
+                return (params, opt_state, i + 1), loss
+
+            starts = jnp.arange(batches_per_chunk) * bs
+            (params, opt_state, _), losses = jax.lax.scan(
+                body, (params, opt_state, 0), starts)
+            return params, opt_state, losses.sum()
+
+        chunk_step = jax.jit(chunk_fn, donate_argnums=(0, 1))
+        host_rng = np.random.default_rng(self.config["train"].get("seed") or 0)
+
+        def run_epoch(params, opt_state, rng, states):
+            perm = host_rng.permutation(n) if shuffle else np.arange(n)
+            pad = n_chunks * chunk_rows - n
+            if pad:
+                perm = np.concatenate([perm, perm[:pad]])
+            total = jnp.zeros((), jnp.float32)
+            for c in range(n_chunks):
+                sel = perm[c * chunk_rows:(c + 1) * chunk_rows]
+                chunk = {k: jnp.asarray(v[sel]) for k, v in arrays_host.items()}
+                params, opt_state, loss_sum = chunk_step(
+                    params, opt_state, jax.random.fold_in(rng, c), chunk, states)
+                total = total + loss_sum
+            return params, opt_state, total / (n_chunks * batches_per_chunk)
+
+        self._scan_arrays = None
+        self._scan_epoch_core = None   # chunked epochs can't run inside one jit
+        self._scan_epoch_fn = None     # (block fitting falls back to the loop)
+        self._chunked_epoch_fn = run_epoch
+
+    # ------------------------------------------------------------------
     # block fitting: K epochs + on-device validation per dispatch.
     # Host reads are pipeline barriers (and on tunneled runtimes degrade all
     # subsequent dispatch), so the TPU-native fit runs whole epoch blocks —
@@ -415,6 +484,8 @@ class Recommender:
                 or getattr(self, "_scan_epoch_core", None) is None
                 or self._scan_epoch_fn is None):
             return False
+        if not self._eval_stack_fits(val_data):
+            return False  # block fitting keeps the whole val stack in HBM
         if type(self).training_epoch is not Recommender.training_epoch:
             return False  # model supplies its own epoch procedure
         refresh = type(self)._epoch_refresh
@@ -462,8 +533,10 @@ class Recommender:
 
     def _setup_block_fit(self, val_data):
         cutoffs = self._cutoffs()[:1]
+        host = getattr(self, "_eval_host_cache", {}).pop(id(val_data), None)
         stacked, scan_eval = self._eval_scan_core(
-            val_data, self.config["eval"]["val_metrics"], cutoffs)
+            val_data, self.config["eval"]["val_metrics"], cutoffs,
+            host_stacked=host)
         mode_max = self.config["train"].get("early_stop_mode", "max") != "min"
         epoch_core = self._scan_epoch_core
 
@@ -638,6 +711,7 @@ class Recommender:
         self._train_steps = [self._make_train_step(o["optimizer"]) if o.get("optimizer") else None
                              for o in self.optimizers]
         self._scan_epoch_fn = None
+        self._chunked_epoch_fn = None
         if self.optimizers and self.optimizers[0].get("optimizer") is not None \
                 and self._supports_scan_epoch(train_data):
             self._setup_scan_epoch(train_data, self.optimizers[0]["optimizer"])
@@ -767,6 +841,10 @@ class Recommender:
         self.logger.info(f"best checkpoint saved at {self.ckpt_path}")
 
     def training_epoch(self, nepoch: int):
+        if getattr(self, "_chunked_epoch_fn", None) is not None:
+            self.params, self.opt_states[0], loss = self._chunked_epoch_fn(
+                self.params, self.opt_states[0], self.next_rng(), self.states)
+            return loss if self._defer_metric_reads() else float(loss)
         if getattr(self, "_scan_epoch_fn", None) is not None:
             self.params, self.opt_states[0], loss = self._scan_epoch_fn(
                 self.params, self.opt_states[0], self.next_rng(),
@@ -827,14 +905,30 @@ class Recommender:
         self.logged_metrics.update(out)
         return out
 
-    def _eval_scan_core(self, data, metric_names, cutoffs):
+    def _stack_eval_batches(self, data) -> Dict[str, np.ndarray]:
+        """Host-side [nbatch, B, ...] stack of a split's eval batches."""
+        loader = data.eval_loader(batch_size=self.config["eval"]["batch_size"])
+        batches = list(loader)
+        return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+
+    def _eval_stack_fits(self, data) -> bool:
+        """Whether the split's eval stack fits the device-data budget (the
+        device-resident scan paths require it; block fitting keeps the whole
+        validation stack in HBM across the fit)."""
+        if not hasattr(self, "_eval_host_cache"):
+            self._eval_host_cache = {}
+        if id(data) not in self._eval_host_cache:
+            self._eval_host_cache[id(data)] = self._stack_eval_batches(data)
+        host = self._eval_host_cache[id(data)]
+        return sum(v.nbytes for v in host.values()) <= self._device_data_budget()
+
+    def _eval_scan_core(self, data, metric_names, cutoffs, host_stacked=None):
         """(stacked_batches, unjitted scan_core) for a split — the core is a
         pure fn (params, stacked, states) -> (metric_sums, weight, globs),
         usable standalone (jitted by _eval_epoch) or inside the block-fit jit."""
-        loader = data.eval_loader(batch_size=self.config["eval"]["batch_size"])
-        batches = list(loader)
-        stacked = {k: jnp.asarray(np.stack([b[k] for b in batches]))
-                   for k in batches[0]}
+        if host_stacked is None:
+            host_stacked = self._stack_eval_batches(data)
+        stacked = {k: jnp.asarray(v) for k, v in host_stacked.items()}
         step = self._make_eval_step(metric_names, tuple(cutoffs))
 
         def scan_eval(params, stacked, states):
@@ -858,7 +952,34 @@ class Recommender:
         if not hasattr(self, "_eval_cache"):
             self._eval_cache = {}
         if key not in self._eval_cache:
-            stacked, scan_eval = self._eval_scan_core(data, metric_names, cutoffs)
+            host = getattr(self, "_eval_host_cache", {}).pop(id(data), None)
+            if host is None:
+                host = self._stack_eval_batches(data)
+            nbytes = sum(v.nbytes for v in host.values())
+            chunks = None
+            if nbytes > self._device_data_budget():
+                # host-chunked evaluation: uniform chunks of whole batches,
+                # last chunk padded with _size=0 copies (weight-neutral for
+                # per-sample sums and for the weight-aware global kernels)
+                nbatch = next(iter(host.values())).shape[0]
+                per_batch = max(nbytes // max(nbatch, 1), 1)
+                bpc = max(int(self._device_data_budget() // per_batch), 1)
+                n_chunks = -(-nbatch // bpc)
+                self.logger.info(
+                    f"eval stack ({nbytes / 2**30:.2f} GiB) exceeds device "
+                    f"budget — streaming {n_chunks} chunks of {bpc} batches")
+                chunks = []
+                for c in range(n_chunks):
+                    sl = {k: v[c * bpc:(c + 1) * bpc] for k, v in host.items()}
+                    short = bpc - next(iter(sl.values())).shape[0]
+                    if short:
+                        pad = {k: np.repeat(v[-1:], short, axis=0) for k, v in sl.items()}
+                        pad["_size"] = np.zeros_like(pad["_size"])
+                        sl = {k: np.concatenate([v, pad[k]], axis=0) for k, v in sl.items()}
+                    chunks.append(sl)
+                host = chunks[0]  # trace shape
+            stacked, scan_eval = self._eval_scan_core(data, metric_names, cutoffs,
+                                                      host_stacked=host)
             keys_cell: List[str] = []
 
             def packed_eval(params, stacked, states):
@@ -867,17 +988,33 @@ class Recommender:
                 packed = jnp.stack([sums[k] for k in keys_cell] + [weight])
                 return packed, globs
 
-            self._eval_cache[key] = (stacked, jax.jit(packed_eval), keys_cell)
+            source = chunks if chunks is not None else stacked
+            self._eval_cache[key] = (source, jax.jit(packed_eval), keys_cell)
         return self._eval_cache[key]
 
     def _eval_epoch(self, data, metric_names, cutoffs) -> Dict[str, float]:
-        """Evaluate a split in ONE device dispatch: eval batches are stacked
-        once ([nbatch, B, ...]) and scanned on device; the metric sums come
-        back in a single packed transfer (each read is a pipeline-serializing
-        round trip on remote runtimes)."""
-        stacked, packed_eval, keys = self._eval_scan_parts(data, metric_names, cutoffs)
-        packed, globs = packed_eval(self.params, stacked, self.states)
-        packed = np.asarray(packed)
+        """Evaluate a split in one device dispatch (eval batches stacked
+        [nbatch, B, ...] and scanned on device, metric sums returned in a
+        single packed transfer) — or, when the stack exceeds the device-data
+        budget, in one dispatch per host-streamed chunk with device-side
+        accumulation."""
+        source, packed_eval, keys = self._eval_scan_parts(data, metric_names, cutoffs)
+        if isinstance(source, list):  # chunked: accumulate on device
+            total = None
+            glob_parts = []
+            for chunk in source:
+                packed, globs = packed_eval(self.params, chunk, self.states)
+                total = packed if total is None else total + packed
+                if globs is not None:
+                    glob_parts.append(globs)
+            packed = np.asarray(total)
+            globs = None
+            if glob_parts:
+                globs = jax.tree_util.tree_map(
+                    lambda *xs: jnp.concatenate(xs, axis=0), *glob_parts)
+        else:
+            packed, globs = packed_eval(self.params, source, self.states)
+            packed = np.asarray(packed)
         weight = float(packed[-1])
         out = {k: float(packed[i]) / max(weight, 1.0) for i, k in enumerate(keys)}
         out.update(self._global_metrics(metric_names, globs))

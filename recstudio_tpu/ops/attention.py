@@ -3,12 +3,17 @@
 ``fused_mha(q, k, v, key_padding_mask, attn_mask)`` computes
 ``softmax(q k^T / sqrt(Dh) + masks) v`` for the transformer encoders of the
 seq family (SASRec/BERT4Rec/..., reference recstudio/model/seq/sasrec.py and
-module/layers.py MultiheadAttention use). RecSys sequences are short
-(max_seq_len 20–50, data/config/all.yaml), so instead of a tiled
-flash-attention the whole (Lq, Lk) score tile of one (batch, head) pair lives
-in VMEM and the kernel fuses the two matmuls with the masked softmax —
-eliminating the [B, H, L, L] logits round-trip through HBM that the unfused
-XLA path materializes.
+module/layers.py MultiheadAttention use). Two regimes, dispatched on Lk:
+
+- short sequences (the recsys norm, max_seq_len 20-50, data/config/all.yaml):
+  the whole (Lq, Lk) score tile of one (batch, head) pair lives in VMEM and
+  the kernel fuses the two matmuls with the masked softmax, eliminating the
+  [B, H, L, L] logits round-trip through HBM that the unfused XLA path
+  materializes;
+- long sequences (Lk > 512): tiled flash attention — online softmax over KV
+  tiles with running max/denominator/accumulator in VMEM scratch, so there
+  is no single-tile VMEM cliff at any length (the reference AttentionLayer,
+  module/layers.py:322, has no length limit either).
 
 Masks follow torch.nn.MultiheadAttention semantics: boolean, True = disallow,
 applied additively with ``finfo.min`` (never -inf, so fully-masked rows stay
@@ -111,15 +116,109 @@ def _mha_pallas(q, k, v, pad_add, attn_add):
 
 
 # ---------------------------------------------------------------------------
+# tiled flash attention: online softmax over KV tiles (no single-tile cliff).
+# Engaged when the (Lq, Lk) score tile would not fit VMEM comfortably; the
+# running max / denominator / accumulator live in VMEM scratch that persists
+# across the innermost ("arbitrary") KV grid dimension.
+# ---------------------------------------------------------------------------
+_FLASH_THRESHOLD = 512   # Lk above which the tiled kernel takes over
+_TQ, _TK = 128, 512
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, pad_ref, attn_ref, out_ref,
+                  m_ref, l_ref, acc_ref, *, scale, nk):
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, jnp.float32(jnp.finfo(jnp.float32).min))
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]                                       # [TQ, Dp]
+    k = k_ref[0, 0]                                       # [TK, Dp]
+    v = v_ref[0, 0]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    s = jnp.maximum(s + attn_ref[:] + pad_ref[0],
+                    jnp.float32(jnp.finfo(jnp.float32).min))  # [TQ, TK]
+
+    m_prev = m_ref[:]                                     # [TQ, 128] (lane-bcast)
+    l_prev = l_ref[:]
+    m_cur = s.max(axis=-1, keepdims=True)                 # [TQ, 1]
+    m_new = jnp.maximum(m_prev, m_cur)                    # [TQ, 128]
+    corr = jnp.exp(m_prev - m_new)                        # finite: m monotone
+    p = jnp.exp(s - m_new[:, :1])                         # [TQ, TK]
+    l_new = corr * l_prev + p.sum(axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * corr[:, :1] + \
+        jnp.dot(p, v, preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+    l_ref[:] = l_new
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        out_ref[0, 0] = acc_ref[:] / l_ref[:, :1]
+
+
+def _mha_flash(q, k, v, pad_add, attn_add):
+    B, H, Lq, Dh = q.shape
+    Lk = k.shape[2]
+    TQ, TK = min(_TQ, _round_up(Lq, 8)), min(_TK, _round_up(Lk, 128))
+    Lqp, Lkp, Dp = _round_up(Lq, TQ), _round_up(Lk, TK), _round_up(Dh, 128)
+    nq, nk = Lqp // TQ, Lkp // TK
+    NEG = float(jnp.finfo(jnp.float32).min)
+
+    qp = jnp.pad(q.astype(jnp.float32), ((0, 0), (0, 0), (0, Lqp - Lq), (0, Dp - Dh)))
+    kp = jnp.pad(k.astype(jnp.float32), ((0, 0), (0, 0), (0, Lkp - Lk), (0, Dp - Dh)))
+    vp = jnp.pad(v.astype(jnp.float32), ((0, 0), (0, 0), (0, Lkp - Lk), (0, Dp - Dh)))
+    if pad_add is None:
+        pad_add = jnp.zeros((B, Lk), jnp.float32)
+    padp = jnp.pad(pad_add.astype(jnp.float32), ((0, 0), (0, Lkp - Lk)),
+                   constant_values=NEG)[:, None, :]       # [B, 1, Lkp]
+    if attn_add is None:
+        attn_add = jnp.zeros((Lq, Lk), jnp.float32)
+    attnp = jnp.pad(attn_add.astype(jnp.float32),
+                    ((0, Lqp - Lq), (0, Lkp - Lk)))
+
+    out = pl.pallas_call(
+        partial(_flash_kernel, scale=1.0 / (Dh ** 0.5), nk=nk),
+        grid=(B, H, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, TQ, Dp), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, TK, Dp), lambda b, h, qi, ki: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, TK, Dp), lambda b, h, qi, ki: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, TK), lambda b, h, qi, ki: (b, 0, ki)),
+            pl.BlockSpec((TQ, TK), lambda b, h, qi, ki: (qi, ki)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, TQ, Dp), lambda b, h, qi, ki: (b, h, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, Lqp, Dp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((TQ, 128), jnp.float32),   # running max (lane-bcast)
+            pltpu.VMEM((TQ, 128), jnp.float32),   # running denominator
+            pltpu.VMEM((TQ, Dp), jnp.float32),    # running accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(qp, kp, vp, padp, attnp)
+    return out[:, :, :Lq, :Dh].astype(q.dtype)
+
+
+def _dispatch(q, k, v, pad_add, attn_add):
+    if k.shape[2] > _FLASH_THRESHOLD:
+        return _mha_flash(q, k, v, pad_add, attn_add)
+    return _mha_pallas(q, k, v, pad_add, attn_add)
+
+
+# ---------------------------------------------------------------------------
 # public op with custom VJP (backward through the XLA reference)
 # ---------------------------------------------------------------------------
 @jax.custom_vjp
 def _fused_mha_core(q, k, v, pad_add, attn_add):
-    return _mha_pallas(q, k, v, pad_add, attn_add)
+    return _dispatch(q, k, v, pad_add, attn_add)
 
 
 def _fwd(q, k, v, pad_add, attn_add):
-    return _mha_pallas(q, k, v, pad_add, attn_add), (q, k, v, pad_add, attn_add)
+    return _dispatch(q, k, v, pad_add, attn_add), (q, k, v, pad_add, attn_add)
 
 
 def _bwd(res, g):

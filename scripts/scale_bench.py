@@ -1,0 +1,93 @@
+"""Scale proof on real hardware: ETL + train + full-catalog eval beyond ml-100k.
+
+Runs BPR on synthetic datasets at ml-1m and ml-10m shapes (SHAPES in
+data/synthetic.py) on the attached chip, both the device-resident and the
+host-chunked (reduced ``device_data_budget``) paths, and prints one JSON
+line per configuration: train examples/s, eval queries/s, wall times.
+
+Usage: python scripts/scale_bench.py [ml-1m-shape ml-10m-shape ...]
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_scale(shape_name: str, chunked: bool = False, epochs_timed: int = 5):
+    from recstudio_tpu.data import TripletDataset
+    from recstudio_tpu.data.synthetic import SHAPES, generate
+    from recstudio_tpu.utils import get_model, seed_everything
+
+    n_users, n_items, n_inters = SHAPES[shape_name]
+    t0 = time.time()
+    name, config = generate(shape_name, n_users, n_items, n_inters, seed=7)
+    t_gen = time.time() - t0
+
+    t0 = time.time()
+    ds = TripletDataset(name, config=config)
+    trn, val, tst = ds.build(split_ratio=[0.8, 0.1, 0.1])
+    t_etl = time.time() - t0
+
+    model_class, conf = get_model("BPR")
+    conf["train"].update(epochs=1, batch_size=8192, benchmark_mode=True)
+    conf["eval"].update(batch_size=512, cutoff=[20], val_metrics=["ndcg"],
+                        test_metrics=["ndcg", "recall"], topk=100)
+    if chunked:
+        conf["train"]["device_data_budget"] = 64 << 20  # force streaming
+    seed_everything(2022)
+    model = model_class(conf)
+
+    t0 = time.time()
+    model.fit(trn, None, run_mode="light")
+    for _ in range(2):
+        loss = model.training_epoch(0)
+    assert np.isfinite(float(loss))
+    t_compile = time.time() - t0
+
+    n_examples = len(trn.data_index)
+    t0 = time.time()
+    losses = [model.training_epoch(0) for _ in range(epochs_timed)]
+    final = float(losses[-1])
+    dt = time.time() - t0
+    assert np.isfinite(final)
+    train_eps = n_examples * epochs_timed / dt
+
+    # full-catalog evaluation (all test users)
+    model._epoch_refresh(-1)
+    n_queries = len(tst.data_index)
+    out = model._eval_epoch(tst, ["ndcg", "recall"], cutoffs=[20])  # compile
+    t0 = time.time()
+    out = model._eval_epoch(tst, ["ndcg", "recall"], cutoffs=[20])
+    t_eval = time.time() - t0
+
+    rec = {
+        "metric": f"BPR/{shape_name}{'/chunked' if chunked else ''} train throughput",
+        "value": round(train_eps, 1),
+        "unit": "examples/s",
+        "n_inters": n_inters,
+        "n_users": n_users,
+        "n_items": n_items,
+        "gen_s": round(t_gen, 1),
+        "etl_s": round(t_etl, 1),
+        "compile_s": round(t_compile, 1),
+        "epoch_s": round(dt / epochs_timed, 3),
+        "eval_pass_s": round(t_eval, 3),
+        "eval_qps": round(n_queries / t_eval, 1),
+        "recall@20": round(out["recall@20"], 4),
+        "ndcg@20": round(out["ndcg@20"], 4),
+        "chunked_train": bool(getattr(model, "_chunked_epoch_fn", None)),
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+if __name__ == "__main__":
+    shapes = sys.argv[1:] or ["ml-1m-shape", "ml-10m-shape"]
+    for s in shapes:
+        run_scale(s)
+    if "ml-10m-shape" in shapes:
+        run_scale("ml-10m-shape", chunked=True)

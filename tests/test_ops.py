@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from recstudio_tpu.ops.kmeans import construct_index, kmeans
 from recstudio_tpu.ops.softmax_z import (catalog_logsumexp,
@@ -139,3 +140,51 @@ def test_attention_gated_grus():
     out = aigru.apply(params, x, att)
     out = out[0] if isinstance(out, tuple) else out
     assert out.shape[0] == B
+
+
+@pytest.mark.parametrize("L", [128, 1024])
+def test_flash_attention_parity(L):
+    """Tiled flash path must match the XLA reference at multi-tile lengths
+    (causal + padding masks). L=128 exercises the single-tile kernel, 1024
+    the online-softmax KV loop."""
+    from recstudio_tpu.ops.attention import fused_mha, mha_xla
+    B, H, Dh = 2, 2, 32
+    key = jax.random.PRNGKey(3)
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (B, H, L, Dh))
+               for i in range(3))
+    pad = jax.random.bernoulli(jax.random.fold_in(key, 3), 0.3, (B, L))
+    pad = pad.at[:, 0].set(False)
+    causal = jnp.triu(jnp.ones((L, L), bool), 1)
+    neg = jnp.finfo(jnp.float32).min
+    a = np.asarray(fused_mha(q, k, v, pad, causal))
+    b = np.asarray(mha_xla(q, k, v, jnp.where(pad, neg, 0.0),
+                           jnp.where(causal, neg, 0.0)))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_flash_attention_parity_4k():
+    from recstudio_tpu.ops.attention import fused_mha, mha_xla
+    B, H, L, Dh = 1, 1, 4096, 64
+    key = jax.random.PRNGKey(5)
+    q, k, v = (0.5 * jax.random.normal(jax.random.fold_in(key, i), (B, H, L, Dh))
+               for i in range(3))
+    causal = jnp.triu(jnp.ones((L, L), bool), 1)
+    neg = jnp.finfo(jnp.float32).min
+    a = np.asarray(fused_mha(q, k, v, None, causal))
+    b = np.asarray(mha_xla(q, k, v, None, jnp.where(causal, neg, 0.0)))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_flash_attention_grads():
+    from recstudio_tpu.ops.attention import fused_mha, mha_xla
+    B, H, L, Dh = 1, 2, 640, 16  # > threshold -> flash path
+    key = jax.random.PRNGKey(9)
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (B, H, L, Dh))
+               for i in range(3))
+    g1 = jax.grad(lambda q, k, v: fused_mha(q, k, v).sum(), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda q, k, v: mha_xla(q, k, v, None, None).sum(),
+                  argnums=(0, 1, 2))(q, k, v)
+    for x, y in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-5)

@@ -1,0 +1,87 @@
+"""Scale machinery: HBM-budget chunked train/eval paths + synthetic datasets.
+
+The reference streams big datasets through DataLoader batching (reference
+data/dataset.py:1687-1734); here small splits are staged device-resident for
+the scan paths and splits over ``train.device_data_budget`` stream in
+host-chunked pieces. These tests force a tiny budget on ml-100k so the
+chunked paths run and must agree with the resident paths.
+"""
+import numpy as np
+import pytest
+
+from recstudio_tpu.utils import get_model, seed_everything
+
+EVAL_CONF = {"batch_size": 64, "cutoff": [10], "val_metrics": ["ndcg"],
+             "test_metrics": ["ndcg", "recall"], "topk": 50}
+
+
+def test_chunked_eval_matches_resident(ml100k_splits):
+    trn, val, tst = ml100k_splits
+    cls, conf = get_model("BPR")
+    conf["train"].update(epochs=2, batch_size=512)
+    conf["eval"].update(EVAL_CONF)
+    seed_everything(5)
+    m = cls(conf)
+    m.fit(trn, None, run_mode="light")
+    m._epoch_refresh(-1)
+    resident = m._eval_epoch(tst, ["ndcg", "recall"], cutoffs=[10])
+    # force many small chunks; results must be identical (eval is RNG-free)
+    m.config["train"]["device_data_budget"] = 200_000
+    m._eval_cache = {}
+    chunked = m._eval_epoch(tst, ["ndcg", "recall"], cutoffs=[10])
+    for k in resident:
+        assert abs(resident[k] - chunked[k]) < 1e-5, (k, resident[k], chunked[k])
+
+
+def test_chunked_training_path_learns(ml100k_splits):
+    trn, val, tst = ml100k_splits
+    cls, conf = get_model("BPR")
+    # ~1.3 MB of train arrays / 100 KB budget -> dozens of chunks
+    conf["train"].update(epochs=3, batch_size=512, device_data_budget=100_000)
+    conf["eval"].update(EVAL_CONF)
+    seed_everything(5)
+    m = cls(conf)
+    m.fit(trn, val, run_mode="light")
+    assert getattr(m, "_chunked_epoch_fn", None) is not None, \
+        "tiny budget must engage the chunked epoch path"
+    res = m.evaluate(tst, verbose=False)
+    assert np.isfinite(res["ndcg@10"]) and res["recall@10"] > 0.02
+
+
+@pytest.mark.slow
+def test_chunked_eval_ranker_global_auc():
+    """Chunked eval must concatenate the per-chunk global gathers (AUC is a
+    single weighted Mann-Whitney over ALL samples, not a mean of chunk AUCs)."""
+    from recstudio_tpu.quickstart import run
+    np.random.seed(42)
+    m, datasets, _ = run("DeepFM", "ml-100k",
+                         model_config={"train": {"epochs": 1, "batch_size": 1024}},
+                         verbose=False)
+    tst = datasets[-1]
+    resident = m._eval_epoch(tst, ["auc", "logloss"], cutoffs=[10])
+    m.config["train"]["device_data_budget"] = 100_000
+    m._eval_cache = {}
+    chunked = m._eval_epoch(tst, ["auc", "logloss"], cutoffs=[10])
+    for k in resident:
+        assert abs(resident[k] - chunked[k]) < 1e-4, (k, resident[k], chunked[k])
+
+
+def test_synthetic_generator_end_to_end(tmp_path):
+    from recstudio_tpu.data import TripletDataset
+    from recstudio_tpu.data.synthetic import generate
+    name, config = generate("tiny-synth", n_users=100, n_items=80,
+                            n_inters=3000, out_dir=str(tmp_path), seed=1,
+                            max_user_inters=200)
+    config["save_cache"] = False
+    ds = TripletDataset(name, config=config)
+    assert ds.num_inters == 3000
+    assert ds.num_users == 101 and ds.num_items == 81  # + [PAD]
+    trn, val, tst = ds.build(split_ratio=[0.8, 0.1, 0.1])
+    cls, conf = get_model("BPR")
+    conf["train"].update(epochs=1, batch_size=256)
+    conf["eval"].update(EVAL_CONF)
+    m = cls(conf)
+    m.fit(trn, None, run_mode="light")
+    m._epoch_refresh(-1)
+    res = m._eval_epoch(tst, ["ndcg"], cutoffs=[10])
+    assert np.isfinite(res["ndcg@10"])
