@@ -47,6 +47,106 @@ def pad_vocab(num_rows: int, n_shards: int) -> int:
     return -(-num_rows // n_shards) * n_shards
 
 
+def _round8(x: int) -> int:
+    return max(8, -(-x // 8) * 8)
+
+
+def a2a_dedup_lookup(table: jax.Array, ids: jax.Array, axis_name: str = "mp",
+                     cap_factor: float = 2.0, return_stats: bool = False):
+    """Row-sharded lookup whose comm volume scales with UNIQUE ids, not
+    mp*B*D (SURVEY §2.8's all-to-all id-exchange design; the scalable
+    alternative to :func:`sharded_lookup`'s psum-of-dense-partials).
+
+    Inside shard_map over ``axis_name``: ``table`` is the local shard
+    [rows, D] of a contiguously row-sharded table; ``ids`` are replicated
+    global ids. Steps:
+
+    1. deduplicate ids locally (sort + first-occurrence compaction — static
+       shapes, capacity B);
+    2. pack the unique ids by owning shard into [mp, C] request containers,
+       C = cap_factor*B/mp, and exchange them with ``all_to_all`` (int32 —
+       64x cheaper than embedding rows at D=64);
+    3. each shard gathers its owned rows and a second ``all_to_all`` returns
+       exactly the requested embeddings [mp, C, D];
+    4. scatter into unique slots and expand through the inverse indices.
+
+    Exact for ANY input: if a skewed batch overflows a destination's request
+    capacity, a replicated ``cond`` engages a SECOND exchange round at full
+    capacity for just the overflowed uniques — the extra comm is paid only
+    when overflow actually happens (never, for well-spread ids at
+    cap_factor 2). Differentiable in ``table`` (all_to_all/scatter transpose
+    to the reverse exchange + scatter-add into the local shard).
+
+    Note: the result is replicated in value across ``axis_name`` but derived
+    through shard-varying data, so shard_map's static replication check
+    cannot prove it — call under ``jax.shard_map(..., check_vma=False)``.
+    """
+    mp = jax.lax.psum(1, axis_name)  # static axis size
+    shard = jax.lax.axis_index(axis_name)
+    rows, D = table.shape
+    flat = ids.reshape(-1).astype(jnp.int32)
+    B = flat.shape[0]
+    U = B  # unique capacity
+
+    # 1. dedup (static shapes)
+    order = jnp.argsort(flat)
+    s = flat[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    slot_sorted = (jnp.cumsum(first) - 1).astype(jnp.int32)
+    n_uniq = first.sum()
+    uniq = jnp.zeros((U,), jnp.int32).at[slot_sorted].set(s)
+    inv = jnp.zeros((B,), jnp.int32).at[order].set(slot_sorted)
+
+    valid_u = jnp.arange(U) < n_uniq
+    dest = jnp.where(valid_u, uniq // rows, mp)      # mp = drop sentinel
+    lo = shard * rows
+
+    def exchange_round(sel_mask, capacity):
+        """Pack uniques under ``sel_mask`` into [mp, capacity] containers,
+        exchange ids, serve owned rows, exchange embeddings back, scatter
+        into unique slots. Returns ([U, D] partials, overflow mask)."""
+        dest_r = jnp.where(sel_mask, dest, mp)
+        d_order = jnp.argsort(dest_r)
+        d_sorted = dest_r[d_order]
+        pos = jnp.arange(U) - jnp.searchsorted(d_sorted, d_sorted, side="left")
+        ok = (pos < capacity) & (d_sorted < mp)
+        di = jnp.where(ok, d_sorted, mp).astype(jnp.int32)
+        pi = jnp.where(ok, pos, 0).astype(jnp.int32)
+        reqs = jnp.zeros((mp, capacity), jnp.int32).at[di, pi].set(
+            uniq[d_order], mode="drop")
+        slot_of = jnp.full((mp, capacity), U, jnp.int32).at[di, pi].set(
+            d_order.astype(jnp.int32), mode="drop")
+
+        got = jax.lax.all_to_all(reqs, axis_name, split_axis=0, concat_axis=0)
+        local = got - lo
+        owned = (local >= 0) & (local < rows)
+        vals = jnp.where(owned[..., None],
+                         table[jnp.clip(local, 0, rows - 1)], 0.0)
+        resp = jax.lax.all_to_all(vals, axis_name, split_axis=0, concat_axis=0)
+
+        part = jnp.zeros((U, D), table.dtype).at[slot_of.reshape(-1)].set(
+            resp.reshape(-1, D), mode="drop")
+        ov = jnp.zeros((U,), bool).at[d_order].set((~ok) & (d_sorted < mp))
+        return part, ov
+
+    C = min(_round8(int(cap_factor * B / mp)), B)
+    uniq_emb, ov_mask = exchange_round(valid_u, C)
+    n_over = ov_mask.sum()
+    any_over = jax.lax.psum(n_over, axis_name) > 0
+
+    # exact overflow fallback: second round at full capacity (U per
+    # destination can never overflow), engaged only when needed
+    uniq_emb = uniq_emb + jax.lax.cond(
+        any_over,
+        lambda: exchange_round(ov_mask, U)[0],
+        lambda: jnp.zeros_like(uniq_emb))  # zeros_like keeps the vma type
+
+    out = uniq_emb[inv].reshape(*ids.shape, D)
+    if return_stats:
+        return out, {"n_unique": n_uniq, "n_overflow": n_over, "capacity": C}
+    return out
+
+
 def make_sharded_train_step(loss_fn, optimizer, mesh: Mesh,
                             table_keys=("item_encoder", "query_encoder")):
     """jit a train step whose embedding tables are row-sharded over 'mp' and

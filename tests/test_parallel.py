@@ -161,3 +161,65 @@ def test_mesh_config_training_end_to_end():
     assert "mp" in str(spec), f"table not mp-sharded: {spec}"
     res = model.evaluate(tst, verbose=False)
     assert np.isfinite(res["ndcg@5"]) and res["recall@5"] >= 0
+
+
+def test_a2a_dedup_lookup_parity(mesh8):
+    """All-to-all dedup lookup (SURVEY §2.8): exact vs dense, comm volume
+    bounded by unique ids (capacity ~2B/mp, not mp*B)."""
+    from jax import shard_map
+    from recstudio_tpu.parallel.embedding import a2a_dedup_lookup
+    n_rows, d = pad_vocab(100, 2), 16
+    table = jax.random.normal(jax.random.PRNGKey(0), (n_rows, d))
+    B = 64
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B,), 0, 100)
+
+    lookup = shard_map(
+        lambda t, i: a2a_dedup_lookup(t, i, "mp", return_stats=True),
+        mesh=mesh8, in_specs=(P("mp", None), P()), out_specs=(P(), P()),
+        check_vma=False)
+    out, stats = jax.jit(lookup)(table, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(table[ids]),
+                               rtol=1e-6)
+    # comm-volume assertion: total exchanged rows mp*C stay ~2B regardless
+    # of mp (the psum path would move mp*B dense rows)
+    assert int(stats["capacity"]) * 2 <= 2.5 * B
+    assert int(stats["n_unique"]) == len(np.unique(np.asarray(ids)))
+
+
+def test_a2a_dedup_lookup_skewed_overflow_exact(mesh8):
+    """A fully-skewed batch (every id owned by shard 0) overflows the request
+    capacity; the cond fallback must keep the result exact."""
+    from jax import shard_map
+    from recstudio_tpu.parallel.embedding import a2a_dedup_lookup
+    n_rows, d = pad_vocab(100, 2), 8
+    table = jax.random.normal(jax.random.PRNGKey(0), (n_rows, d))
+    B = 64
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B,), 0, 40)  # all shard 0
+
+    lookup = shard_map(
+        lambda t, i: a2a_dedup_lookup(t, i, "mp", cap_factor=0.25,
+                                      return_stats=True),
+        mesh=mesh8, in_specs=(P("mp", None), P()), out_specs=(P(), P()),
+        check_vma=False)
+    out, stats = jax.jit(lookup)(table, ids)
+    assert int(stats["n_overflow"]) > 0, "test must actually exercise overflow"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(table[ids]),
+                               rtol=1e-6)
+
+
+def test_a2a_dedup_lookup_gradient(mesh8):
+    from jax import shard_map
+    from recstudio_tpu.parallel.embedding import a2a_dedup_lookup
+    n_rows, d = 8, 4
+    ids = jnp.array([1, 1, 5, 6])
+
+    def loss_a2a(t):
+        emb = shard_map(lambda tt, ii: a2a_dedup_lookup(tt, ii, "mp"),
+                        mesh=mesh8, in_specs=(P("mp", None), P()),
+                        out_specs=P(), check_vma=False)(t, ids)
+        return (emb ** 2).sum()
+
+    table = jax.random.normal(jax.random.PRNGKey(2), (n_rows, d))
+    g = jax.grad(loss_a2a)(table)
+    g_ref = jax.grad(lambda t: (t[ids] ** 2).sum())(table)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-5)
