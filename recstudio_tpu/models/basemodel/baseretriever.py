@@ -457,11 +457,43 @@ class BaseRetriever(Recommender):
             item_vector = self._item_vectors(params, states)  # fused into caller's jit
         query = self._apply(params, "encode_query", self._get_query_feat(batch),
                             net_state=states.get("net"))
-        scores = self._apply(params, "score", query, item_vector)
-        score_k, topk_items = self._topk_from_scores(scores, k, user_hist)
+        mesh = getattr(self, "_mesh", None)
+        if (mesh is not None and mesh.shape.get("mp", 1) > 1
+                and type(self.score_func) is InnerProductScorer
+                and query.ndim == 2):
+            score_k, topk_items = self._sharded_topk(mesh, query, item_vector,
+                                                     k, user_hist)
+        else:
+            scores = self._apply(params, "score", query, item_vector)
+            score_k, topk_items = self._topk_from_scores(scores, k, user_hist)
         if return_query:
             return score_k, topk_items, query
         return score_k, topk_items
+
+    def _sharded_topk(self, mesh, query, item_vector, k: int, user_hist):
+        """Distributed exact MIPS top-k when the catalog is mp-sharded: each
+        shard scores its rows on its MXU, history-masks in-shard, takes a
+        local top-k, and the candidate sets merge via all_gather over ICI —
+        no chip ever materializes the full [B, N] score matrix
+        (ops/topk.py:sharded_mips_topk; BASELINE config #5)."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from ...ops.topk import sharded_mips_topk
+        from ...parallel import pad_vocab
+        n = item_vector.shape[0]
+        mp = mesh.shape["mp"]
+        iv = jnp.pad(item_vector, ((0, pad_vocab(n, mp) - n), (0, 0)))
+        B = query.shape[0]
+        qspec = P("dp") if B % mesh.shape.get("dp", 1) == 0 else P()
+        hist = (user_hist if user_hist is not None
+                else jnp.zeros((B, 1))).astype(jnp.int32)
+        fn = shard_map(
+            lambda q, it, h: sharded_mips_topk(q, it, k, "mp", user_hist=h,
+                                               n_valid_rows=n),
+            mesh=mesh, in_specs=(qspec, P("mp", None), qspec),
+            out_specs=(qspec, qspec), check_vma=False)
+        v, i = fn(query, iv, hist)
+        return v, i + 1
 
     # ------------------------------------------------------------------
     # train / eval steps

@@ -73,7 +73,8 @@ def chunked_topk(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
 
 
 def sharded_mips_topk(query: jax.Array, item_shard: jax.Array, k: int,
-                      axis_name: str = "mp") -> Tuple[jax.Array, jax.Array]:
+                      axis_name: str = "mp", user_hist: jax.Array = None,
+                      n_valid_rows: int = None) -> Tuple[jax.Array, jax.Array]:
     """Distributed exact MIPS top-k from inside `shard_map`.
 
     The item matrix is row-sharded across `axis_name`; each shard scores its
@@ -82,6 +83,11 @@ def sharded_mips_topk(query: jax.Array, item_shard: jax.Array, k: int,
     never materialized on any one chip, and only O(shards * B * k) crosses ICI
     (BASELINE config #5; replaces the reference's broken faiss path).
 
+    Optional in-shard masking (applied BEFORE the local top-k, so the merge
+    stays exact): ``user_hist`` [B, H] holds 1-based item ids to exclude
+    (0 = pad); ``n_valid_rows`` truncates trailing padding rows added to make
+    the catalog divisible by the shard count.
+
     Returns global (values [B, k], indices [B, k]) — indices are 0-based rows
     of the FULL item matrix.
     """
@@ -89,6 +95,16 @@ def sharded_mips_topk(query: jax.Array, item_shard: jax.Array, k: int,
     shard_idx = jax.lax.axis_index(axis_name)
     rows = item_shard.shape[0]
     scores = query @ item_shard.T                                # [B, rows]
+    lo = shard_idx * rows
+    if n_valid_rows is not None:
+        scores = jnp.where(lo + jnp.arange(rows)[None, :] >= n_valid_rows,
+                           -jnp.inf, scores)
+    if user_hist is not None:
+        # row of item id h is h-1; ids outside this shard (incl. pad 0) drop
+        col = jnp.where(user_hist > 0, user_hist - 1 - lo, rows)
+        col = jnp.where((col >= 0) & (col < rows), col, rows)
+        b = jnp.arange(scores.shape[0])[:, None]
+        scores = scores.at[b, col].set(-jnp.inf, mode="drop")
     local_k = min(k, rows)
     v, i = jax.lax.top_k(scores, local_k)
     if local_k < k:  # pad so every shard contributes k candidates

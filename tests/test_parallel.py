@@ -223,3 +223,57 @@ def test_a2a_dedup_lookup_gradient(mesh8):
     g = jax.grad(loss_a2a)(table)
     g_ref = jax.grad(lambda t: (t[ids] ** 2).sum())(table)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-5)
+
+
+def _fit_and_eval(model_name, mesh_conf, splits, epochs=3):
+    from recstudio_tpu.utils import get_model, seed_everything
+    trn, val, tst = splits
+    cls, conf = get_model(model_name)
+    conf["train"].update(epochs=epochs, batch_size=512)
+    if mesh_conf:
+        conf["train"]["mesh"] = mesh_conf
+    conf["eval"].update(batch_size=64, cutoff=[10], val_metrics=["ndcg"],
+                        test_metrics=["ndcg", "recall"], topk=50)
+    seed_everything(11)
+    m = cls(conf)
+    m.fit(trn, val, run_mode="light")
+    return m.evaluate(tst, verbose=False)
+
+
+@pytest.mark.slow
+def test_mesh_parity_bpr(ml100k_splits):
+    """Full fit (block fitting) + eval under a dp=4 x mp=2 mesh must
+    reproduce the single-device metrics — the sharding constraints and the
+    sharded MIPS top-k (all-gather merge-k) change the schedule, not the
+    math."""
+    single = _fit_and_eval("BPR", None, ml100k_splits)
+    meshed = _fit_and_eval("BPR", {"dp": 4, "mp": 2}, ml100k_splits)
+    for k in single:
+        assert abs(single[k] - meshed[k]) < 2e-3, (k, single[k], meshed[k])
+
+
+@pytest.mark.slow
+def test_mesh_parity_sasrec():
+    """Transformer retriever (shared item tower, seq batches) under the mesh."""
+    from recstudio_tpu.data.dataset import SeqDataset
+    single = None
+    for mesh_conf in (None, {"dp": 4, "mp": 2}):
+        from recstudio_tpu.utils import get_model, seed_everything
+        cls, conf = get_model("SASRec")
+        conf["train"].update(epochs=2, batch_size=512)
+        if mesh_conf:
+            conf["train"]["mesh"] = mesh_conf
+        conf["eval"].update(batch_size=64, cutoff=[10], val_metrics=["ndcg"],
+                            test_metrics=["ndcg", "recall"], topk=50)
+        np.random.seed(42)
+        seed_everything(11)
+        ds = SeqDataset("ml-100k")
+        trn, val, tst = ds.build(split_ratio=2)
+        m = cls(conf)
+        m.fit(trn, val, run_mode="light")
+        res = m.evaluate(tst, verbose=False)
+        if single is None:
+            single = res
+        else:
+            for k in single:
+                assert abs(single[k] - res[k]) < 2e-3, (k, single[k], res[k])
