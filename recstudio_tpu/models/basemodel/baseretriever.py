@@ -262,6 +262,9 @@ class BaseRetriever(Recommender):
         return isinstance(self.sampler, Sampler) and \
             type(self.sampler).update is not Sampler.update
 
+    def _ann_enabled(self) -> bool:
+        return str(self.config["train"].get("ann") or "").lower() == "ivf"
+
     def _epoch_refresh(self, nepoch: int):
         # eval steps encode the catalog inside their own jit; during training
         # only refresh what the train step actually consumes (mirrors the
@@ -277,6 +280,16 @@ class BaseRetriever(Recommender):
             sampler_state = self.sampler.update(self.next_rng(), item_vector)
             if sampler_state != ():
                 self.states["sampler"] = sampler_state
+        if nepoch < 0 and self._ann_enabled():
+            # approximate-ANN index for inference/evaluate (train.ann: ivf).
+            # The reference's faiss path is broken (build_ann_index never
+            # defined, reference baseretriever.py:140); this one works.
+            from ...ann.ivf import build_ivf
+            tc = self.config["train"]
+            self.states["ann"] = build_ivf(
+                self.next_rng(), item_vector,
+                num_clusters=tc.get("ann_clusters"),
+                cap_factor=float(tc.get("ann_cap_factor", 2.0)))
 
     # ------------------------------------------------------------------
     # forward / sampling / loss
@@ -457,8 +470,16 @@ class BaseRetriever(Recommender):
             item_vector = self._item_vectors(params, states)  # fused into caller's jit
         query = self._apply(params, "encode_query", self._get_query_feat(batch),
                             net_state=states.get("net"))
+        ann = states.get("ann") if isinstance(states, dict) else None
         mesh = getattr(self, "_mesh", None)
-        if (mesh is not None and mesh.shape.get("mp", 1) > 1
+        if (ann is not None and type(self.score_func) is InnerProductScorer
+                and query.ndim == 2):
+            from ...ann.ivf import ivf_search
+            nprobe = int(self.config["train"].get(
+                "ann_nprobe", max(1, ann["centers"].shape[0] // 8)))
+            score_k, topk_items = ivf_search(ann, item_vector, query, k,
+                                             nprobe, user_hist=user_hist)
+        elif (mesh is not None and mesh.shape.get("mp", 1) > 1
                 and type(self.score_func) is InnerProductScorer
                 and query.ndim == 2):
             score_k, topk_items = self._sharded_topk(mesh, query, item_vector,
