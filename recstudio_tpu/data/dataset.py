@@ -227,7 +227,9 @@ class TripletDataset:
                              skip_rows=0 if header is None else int(header) + 1)
         if cols is None:
             return None
-        return pd.DataFrame(cols)
+        # copy=False: the parser's buffers are freshly allocated and owned
+        # here; a copying ctor costs ~7 s at 10M rows
+        return pd.DataFrame(cols, copy=False)
 
     def _parse_time_field(self):
         """``str``-typed time fields (e.g. gowalla check-in timestamps) are
@@ -381,30 +383,63 @@ class TripletDataset:
                     if feat is not None and field in feat.columns:
                         columns.append((feat, field))
             is_core = [any(feat is cf for cf in core_feats) for feat, _ in columns]
-            token_arrays = []
+            # two-level factorization: reduce every column to an interned
+            # (codes [rows], pool [uniques]) pair, then factorize only the
+            # CONCATENATED POOLS (small) instead of the concatenated rows
+            # (10M+). Categorical columns (native CSV fast path) are already
+            # interned; token ids come out identical to row-level factorize
+            # because pools are in first-occurrence order.
+            token_pairs = []   # (codes >=0 into pool, pool str ndarray)
             for feat, field in columns:
                 col = feat[field]
                 if self.field2type[field].endswith("seq"):
                     vals = np.concatenate([np.asarray(v, dtype=object) for v in col.values]) \
                         if len(col) else np.array([], dtype=object)
-                    token_arrays.append(vals.astype(str))
+                    codes, pool = pd.factorize(vals.astype(str))
+                    pool = np.asarray(pool, dtype=object)
+                elif isinstance(col.dtype, pd.CategoricalDtype):
+                    codes = col.cat.codes.values   # int{8,16,32}, no copy
+                    pool = col.cat.categories.to_numpy(dtype=object)
+                    # compact to the tokens actually present (rows may have
+                    # been filtered since load; vocab must match row content)
+                    used = np.zeros(len(pool) + 1, dtype=bool)
+                    used[codes] = True           # codes==-1 marks the tail
+                    nan_seen = used[-1]
+                    used = used[:-1]
+                    if not used.all() or nan_seen:
+                        new_pos = np.cumsum(used) - 1
+                        pool = pool[used]
+                        if nan_seen:   # preserve str-cast semantics for NaN
+                            pool = np.append(pool, "nan")
+                            new_pos = np.append(new_pos, len(pool) - 1)
+                        codes = new_pos[codes]
                 else:
-                    token_arrays.append(col.values.astype(str))
-            # apply node links (e.g. entity ids aliased to item tokens)
+                    codes, pool = pd.factorize(col.values.astype(str))
+                    pool = np.asarray(pool, dtype=object)
+                if (codes < 0).any():   # NaN from object-path factorize
+                    pool = np.append(pool, "nan")
+                    codes = np.where(codes < 0, len(pool) - 1, codes)
+                token_pairs.append((codes, pool))
+            # apply node links (e.g. entity ids aliased to item tokens) at
+            # POOL level — the remap is elementwise on token values
             for i, remap in net_remap.items():
                 link = self.node_link[i]
                 if link is None:
                     continue
                 for ci, (feat, field) in enumerate(columns):
                     if feat is self.network_feat[i] and field in remap:
-                        token_arrays[ci] = np.array(
-                            [str(link.get(t, t)) for t in token_arrays[ci]], dtype=str)
-            split_points = np.cumsum([len(a) for a in token_arrays])
-            all_tokens = np.concatenate(token_arrays) if token_arrays else np.array([], dtype=str)
-            codes, uniques = pd.factorize(all_tokens)
-            tokens = np.insert(uniques.astype(object), 0, PAD_TOKEN)
-            codes = codes + 1  # reserve 0 for [PAD]
-            parts = np.split(codes, split_points[:-1])
+                        codes, pool = token_pairs[ci]
+                        pool = np.array([str(link.get(t, t)) for t in pool],
+                                        dtype=object)
+                        token_pairs[ci] = (codes, pool)
+            pools = [p for _, p in token_pairs]
+            all_pool = np.concatenate(pools) if pools else np.array([], dtype=object)
+            pool2global, uniques = pd.factorize(all_pool)
+            tokens = np.insert(np.asarray(uniques, dtype=object), 0, PAD_TOKEN)
+            pool2global = pool2global + 1  # reserve 0 for [PAD]
+            offsets = np.cumsum([0] + [len(p) for p in pools])
+            parts = [pool2global[off + codes]
+                     for (codes, _), off in zip(token_pairs, offsets[:-1])]
             token2idx = {t: i for i, t in enumerate(tokens)}
             # when entity ids from network feats extend a core id space
             # (e.g. KG entities aliased onto items), the core fields keep the
