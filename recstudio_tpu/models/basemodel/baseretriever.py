@@ -458,8 +458,14 @@ class BaseRetriever(Recommender):
     def _topk_from_scores(self, scores: jax.Array, k: int,
                           user_hist: Optional[jax.Array]) -> Tuple[jax.Array, jax.Array]:
         scores = self._mask_hist_scores(scores, user_hist)
-        from ...ops.topk import chunked_topk
-        score_k, idx = chunked_topk(scores, k)
+        if str(self.config["train"].get("ann") or "").lower() == "approx":
+            from ...ops.topk import approx_topk
+            score_k, idx = approx_topk(
+                scores, k,
+                float(self.config["train"].get("ann_recall_target", 0.95)))
+        else:
+            from ...ops.topk import chunked_topk
+            score_k, idx = chunked_topk(scores, k)
         return score_k, idx + 1
 
     def topk(self, params, batch, k: int, user_hist=None, states=None,

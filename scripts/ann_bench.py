@@ -1,8 +1,26 @@
-"""IVF vs exact MIPS at catalog scale on the real chip.
+"""ANN options vs exact MIPS at catalog scale on the real chip.
 
-Builds a clustered 1M x 64 catalog (the regime trained embedding tables live
-in), then measures exact full-catalog top-20 vs `train.ann: ivf` — recall and
-speedup. Prints one JSON line.
+Builds a clustered 4M x 64 catalog (the regime trained embedding tables live
+in) and measures, at online-serving batch size (B=8, one user request per
+row): exact dense top-20 (`chunked_topk`), the TPU-hardware approximate path
+(`train.ann: approx` -> jax.lax.approx_max_k), and the IVF inverted-list
+index (`train.ann: ivf`). Prints one JSON line with recall + latency each.
+
+Timing protocol (this transport lies): DISTINCT query batches per call (the
+runtime caches identical (executable, args) executions), warmup call
+completed with a HOST READ (block_until_ready can return before device
+completion — first executions of a large executable can take tens of
+seconds and would otherwise leak into the timed window), then a timed loop
+fenced by a host read that depends on every output.
+
+Regime notes (read-fenced steady state, v5e):
+- batch eval (B>=256): the dense [B, N] matmul + top_k amortizes the
+  catalog read across the batch on the MXU; exact is already fast and
+  `approx` beats it ~7x — IVF's per-query gathers lose. Exact stays the
+  default; `approx` is the recommended speedup.
+- tiny-batch serving on huge catalogs: IVF reads only the probed lists
+  (B*nprobe*cap*D bytes vs the full N*D), the only regime where an
+  inverted index pays on this hardware.
 """
 import json
 import os
@@ -14,11 +32,16 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(N=1_000_000, D=64, B=512, k=20, K=1024, nprobe=64):
+def _read_fence(outs):
+    import jax.numpy as jnp
+    float(jnp.stack([o[0] for o in outs]).sum())
+
+
+def main(N=4_000_000, D=64, B=8, k=20, K=2048, nprobe=24):
     import jax
     import jax.numpy as jnp
     from recstudio_tpu.ann.ivf import build_ivf, ivf_search
-    from recstudio_tpu.ops.topk import chunked_topk
+    from recstudio_tpu.ops.topk import approx_topk, chunked_topk
 
     rng = jax.random.PRNGKey(0)
     nc = 2000  # latent clusters
@@ -28,40 +51,56 @@ def main(N=1_000_000, D=64, B=512, k=20, K=1024, nprobe=64):
     queries = centers[jax.random.randint(jax.random.fold_in(rng, 3), (B,), 0, nc)] \
         + 0.5 * jax.random.normal(jax.random.fold_in(rng, 4), (B, D))
     items = items.block_until_ready()
+    print("items ready", flush=True)
 
-    exact = jax.jit(lambda q, it: chunked_topk(q @ it.T, k))
-    ev, eids = exact(queries, items)
-    ev.block_until_ready()
-    t0 = time.time()
-    reps = 10
-    for _ in range(reps):
-        ev, eids = exact(queries, items)
-    float(ev[0, 0]); t_exact = (time.time() - t0) / reps
+    reps = 20
+    qbatches = [centers[jax.random.randint(jax.random.fold_in(rng, 100 + r),
+                                           (B,), 0, nc)]
+                + 0.5 * jax.random.normal(jax.random.fold_in(rng, 200 + r),
+                                          (B, D)) for r in range(reps)]
+    _read_fence([(q,) for q in qbatches])
+
+    def timed(fn):
+        out = fn(queries)          # compile + first-execution warmup
+        _read_fence([out])         # host read: genuinely complete
+        t0 = time.time()
+        outs = [fn(q) for q in qbatches]
+        _read_fence(outs)
+        return out, (time.time() - t0) / reps
+
+    exact = jax.jit(lambda q: chunked_topk(q @ items.T, k))
+    (ev, eids), t_exact = timed(exact)
+    print("exact done", flush=True)
+
+    approx = jax.jit(lambda q: approx_topk(q @ items.T, k, 0.95))
+    (av2, aids2), t_approx = timed(approx)
+    print("approx done", flush=True)
 
     t0 = time.time()
-    index = build_ivf(jax.random.fold_in(rng, 5), items, num_clusters=K)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), index)
+    index = build_ivf(jax.random.fold_in(rng, 5), items, num_clusters=K,
+                      cap_factor=1.25)
+    jax.block_until_ready(index)
     t_build = time.time() - t0
+    print("index built", round(t_build, 1), "s", flush=True)
 
-    av, aids = ivf_search(index, items, queries, k, nprobe)
-    av.block_until_ready()
-    t0 = time.time()
-    for _ in range(reps):
-        av, aids = ivf_search(index, items, queries, k, nprobe)
-    float(av[0, 0]); t_ivf = (time.time() - t0) / reps
+    (av, aids), t_ivf = timed(lambda q: ivf_search(index, items, q, k, nprobe))
 
     e = np.asarray(eids)
-    a = np.asarray(aids) - 1
-    recall = np.mean([len(set(a[b]) & set(e[b])) / k for b in range(B)])
+
+    def recall(ids0):
+        a = np.asarray(ids0)
+        return float(np.mean([len(set(a[b]) & set(e[b])) / k
+                              for b in range(B)]))
 
     print(json.dumps({
-        "metric": f"IVF recall@{k} vs exact ({N // 10**6}M x {D} catalog)",
-        "value": round(float(recall), 4),
-        "unit": "recall",
+        "metric": f"ANN recall@{k} vs exact ({N // 10**6}M x {D} catalog)",
+        "value": recall(np.asarray(aids) - 1),
+        "unit": "recall (ivf)",
         "exact_ms": round(t_exact * 1e3, 2),
+        "approx_ms": round(t_approx * 1e3, 2),
+        "approx_recall": recall(np.asarray(aids2)),
         "ivf_ms": round(t_ivf * 1e3, 2),
-        "speedup": round(t_exact / t_ivf, 2),
-        "build_s": round(t_build, 2),
+        "ivf_build_s": round(t_build, 2),
         "B": B, "K": K, "nprobe": nprobe,
     }), flush=True)
 

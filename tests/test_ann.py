@@ -65,6 +65,34 @@ def test_ivf_hist_exclusion():
         assert not (banned & got), f"history leaked into results: {banned & got}"
 
 
+def test_approx_topk_recall():
+    """`train.ann: approx` path: jax.lax.approx_max_k vs exact."""
+    from recstudio_tpu.ops.topk import approx_topk
+    scores = jax.random.normal(jax.random.PRNGKey(0), (64, 50000))
+    av, aidx = approx_topk(scores, 20, recall_target=0.95)
+    ev, eidx = jax.lax.top_k(scores, 20)
+    r = _recall(np.asarray(aidx), np.asarray(eidx))
+    assert r >= 0.9, f"approx recall too low: {r}"
+    # returned values must be true scores of returned indices
+    true = jnp.take_along_axis(scores, aidx, axis=1)
+    np.testing.assert_allclose(np.asarray(av), np.asarray(true), rtol=1e-5)
+
+
+def test_approx_end_to_end_bpr(ml100k_splits):
+    from recstudio_tpu.utils import get_model, seed_everything
+    trn, val, tst = ml100k_splits
+    cls, conf = get_model("BPR")
+    conf["train"].update(epochs=3, batch_size=512, ann="approx",
+                         ann_recall_target=0.95)
+    conf["eval"].update(batch_size=64, cutoff=[20], val_metrics=["ndcg"],
+                        test_metrics=["ndcg", "recall"], topk=100)
+    seed_everything(5)
+    m = cls(conf)
+    m.fit(trn, None, run_mode="light")
+    res = m.evaluate(tst, verbose=False)
+    assert np.isfinite(res["recall@20"]) and res["recall@20"] > 0.05
+
+
 def test_ann_end_to_end_bpr(ml100k_splits):
     from recstudio_tpu.utils import get_model, seed_everything
     trn, val, tst = ml100k_splits
