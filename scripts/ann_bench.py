@@ -41,7 +41,7 @@ def main(N=4_000_000, D=64, B=8, k=20, K=2048, nprobe=24):
     import jax
     import jax.numpy as jnp
     from recstudio_tpu.ann.ivf import build_ivf, ivf_search
-    from recstudio_tpu.ops.topk import approx_topk, chunked_topk
+    from recstudio_tpu.ops.topk import approx_topk, streaming_topk
 
     rng = jax.random.PRNGKey(0)
     nc = 2000  # latent clusters
@@ -60,20 +60,25 @@ def main(N=4_000_000, D=64, B=8, k=20, K=2048, nprobe=24):
                                           (B, D)) for r in range(reps)]
     _read_fence([(q,) for q in qbatches])
 
-    def timed(fn):
-        out = fn(queries)          # compile + first-execution warmup
+    def timed(fn, *state):
+        # state is passed as jit ARGUMENTS — a closure would bake the
+        # catalog into the remote-compile payload (HTTP 413 on the tunnel)
+        out = fn(queries, *state)  # compile + first-execution warmup
         _read_fence([out])         # host read: genuinely complete
         t0 = time.time()
-        outs = [fn(q) for q in qbatches]
+        outs = [fn(q, *state) for q in qbatches]
         _read_fence(outs)
         return out, (time.time() - t0) / reps
 
-    exact = jax.jit(lambda q: chunked_topk(q @ items.T, k))
-    (ev, eids), t_exact = timed(exact)
+    # streaming merge, not lax.top_k: the full-sort lowering's FIRST
+    # execution at [8, 4M] runs minutes-to-wedged on the tunneled runtime
+    # (steady state is comparable: 8.5 vs 9.4 ms read-fenced)
+    exact = jax.jit(lambda q, it: streaming_topk(q @ it.T, k, 131072))
+    (ev, eids), t_exact = timed(exact, items)
     print("exact done", flush=True)
 
-    approx = jax.jit(lambda q: approx_topk(q @ items.T, k, 0.95))
-    (av2, aids2), t_approx = timed(approx)
+    approx = jax.jit(lambda q, it: approx_topk(q @ it.T, k, 0.95))
+    (av2, aids2), t_approx = timed(approx, items)
     print("approx done", flush=True)
 
     t0 = time.time()
@@ -83,7 +88,8 @@ def main(N=4_000_000, D=64, B=8, k=20, K=2048, nprobe=24):
     t_build = time.time() - t0
     print("index built", round(t_build, 1), "s", flush=True)
 
-    (av, aids), t_ivf = timed(lambda q: ivf_search(index, items, q, k, nprobe))
+    (av, aids), t_ivf = timed(
+        lambda q, ix, it: ivf_search(ix, it, q, k, nprobe), index, items)
 
     e = np.asarray(eids)
 
