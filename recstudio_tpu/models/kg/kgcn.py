@@ -145,10 +145,12 @@ class KGCN(BaseRanker):
         return self.net.init({"params": self.next_rng()}, uid, ents, rels,
                              training=False)
 
-    def score(self, params, batch, training: bool = False, rng=None):
+    def score(self, params, batch, training: bool = False, rng=None,
+              net_state=None):
         ents, rels = self._hops(batch[self.fiid])
         rngs = {"dropout": rng} if (rng is not None and training) else None
-        return self.net.apply({"params": params}, batch[self.fuid], ents, rels,
+        return self.net.apply({"params": params, **(net_state or {})},
+                              batch[self.fuid], ents, rels,
                               training=training, rngs=rngs)
 
     def _get_loss_func(self):

@@ -118,7 +118,7 @@ class RippleNet(BaseRanker):
         return (v + o) @ W  # plus_transform
 
     def score(self, params, batch, training: bool = False, rng=None,
-              return_kge: bool = False):
+              net_state=None, return_kge: bool = False):
         d = self.embed_dim
         uid, iid = batch[self.fuid], batch[self.fiid]
         rip_h, rip_r, rip_t = self._rip
