@@ -514,9 +514,13 @@ class BaseRetriever(Recommender):
         qspec = P("dp") if B % mesh.shape.get("dp", 1) == 0 else P()
         hist = (user_hist if user_hist is not None
                 else jnp.zeros((B, 1))).astype(jnp.int32)
+        rt = (float(self.config["train"].get("ann_recall_target", 0.95))
+              if str(self.config["train"].get("ann") or "").lower() == "approx"
+              else None)
         fn = shard_map(
             lambda q, it, h: sharded_mips_topk(q, it, k, "mp", user_hist=h,
-                                               n_valid_rows=n),
+                                               n_valid_rows=n,
+                                               recall_target=rt),
             mesh=mesh, in_specs=(qspec, P("mp", None), qspec),
             out_specs=(qspec, qspec), check_vma=False)
         v, i = fn(query, iv, hist)

@@ -88,7 +88,8 @@ def approx_topk(scores: jax.Array, k: int, recall_target: float = 0.95
 
 def sharded_mips_topk(query: jax.Array, item_shard: jax.Array, k: int,
                       axis_name: str = "mp", user_hist: jax.Array = None,
-                      n_valid_rows: int = None) -> Tuple[jax.Array, jax.Array]:
+                      n_valid_rows: int = None,
+                      recall_target: float = None) -> Tuple[jax.Array, jax.Array]:
     """Distributed exact MIPS top-k from inside `shard_map`.
 
     The item matrix is row-sharded across `axis_name`; each shard scores its
@@ -120,7 +121,14 @@ def sharded_mips_topk(query: jax.Array, item_shard: jax.Array, k: int,
         b = jnp.arange(scores.shape[0])[:, None]
         scores = scores.at[b, col].set(-jnp.inf, mode="drop")
     local_k = min(k, rows)
-    v, i = jax.lax.top_k(scores, local_k)
+    if recall_target is not None:
+        # per-shard hardware approx (`train.ann: approx` under an mp mesh);
+        # the cross-shard merge itself stays exact over the candidates
+        v, i = jax.lax.approx_max_k(scores, local_k,
+                                    recall_target=recall_target,
+                                    aggregate_to_topk=True)
+    else:
+        v, i = jax.lax.top_k(scores, local_k)
     if local_k < k:  # pad so every shard contributes k candidates
         pad = k - local_k
         v = jnp.pad(v, ((0, 0), (0, pad)), constant_values=-jnp.inf)

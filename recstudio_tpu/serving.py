@@ -1,0 +1,132 @@
+"""Online-serving utilities: fixed-shape batched top-k inference.
+
+The reference has no serving layer (inference = ad-hoc `topk` calls on the
+trained torch module); production TPU serving needs two things the training
+eval path does not give you for free:
+
+- STATIC shapes: every distinct request-batch shape triggers an XLA
+  compile. The :class:`Predictor` pads each request up to a fixed
+  ``max_batch`` so the whole service runs on exactly one compiled program.
+- an explicit warmup: the first execution of a compiled program on a
+  tunneled runtime can take seconds; ``warm()`` pays that cost at startup
+  instead of on the first user request.
+
+Works with any fitted :class:`~recstudio_tpu.models.basemodel.BaseRetriever`
+(or one re-hydrated via ``load_checkpoint``); honors the model's
+``train.ann`` setting (exact / ``approx`` / ``ivf``).
+
+Example::
+
+    from recstudio_tpu.serving import Predictor
+    pred = Predictor(rec, max_batch=32, k=20)
+    pred.warm()
+    scores, items = pred({"user_id": np.array([5, 17])})
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+class Predictor:
+    """Fixed-shape batched top-k server for a fitted retriever."""
+
+    def __init__(self, model, max_batch: int = 32, k: int = 20,
+                 train_data=None, exclude_history: bool = True):
+        self.model = model
+        self.max_batch = int(max_batch)
+        self.k = int(k)
+        self.exclude_history = exclude_history
+        # one refresh: item vectors (+ sampler/ann state) snapshotted for
+        # serving; call again after further training
+        if "item_vector" not in model.states:
+            model._epoch_refresh(-1)
+        self._topk = jax.jit(model.topk, static_argnums=(2,))
+        # [num_users, H] 1-based interacted-item matrix (0 = pad), the same
+        # source the eval loader uses (data/dataset.py:897-898)
+        self._hist = getattr(train_data, "user_hist", None) \
+            if train_data is not None else None
+        self._lat_ms = []
+        self.n_requests = 0
+
+    # ------------------------------------------------------------------
+    def _pad(self, batch: Dict[str, np.ndarray]) -> Tuple[Dict, int]:
+        n = len(next(iter(batch.values())))
+        if n > self.max_batch:
+            raise ValueError(f"request batch {n} > max_batch {self.max_batch}"
+                             " — split the request")
+        out = {}
+        for key, value in batch.items():
+            value = np.asarray(value)
+            pad = [(0, self.max_batch - n)] + [(0, 0)] * (value.ndim - 1)
+            out[key] = np.pad(value, pad)
+        return out, n
+
+    def _user_hist(self, batch: Dict[str, np.ndarray]):
+        if not self.exclude_history or self._hist is None:
+            return None
+        fuid = self.model.fuid
+        if fuid not in batch:
+            return None
+        return np.asarray(self._hist)[np.asarray(batch[fuid])].astype(np.int32)
+
+    # ------------------------------------------------------------------
+    def warm(self):
+        """Compile + first-execute the serving program on a dummy request."""
+        fuid = self.model.fuid
+        dummy = {fuid: np.zeros(self.max_batch, np.int32)}
+        scores, items = self._call_padded(dummy)
+        float(np.asarray(scores).sum())   # host read: genuinely complete
+        return self
+
+    def _call_padded(self, padded: Dict[str, np.ndarray]):
+        from .models.basemodel.recommender import batch_to_device
+        dev = batch_to_device(padded)
+        return self._topk(self.model.params, dev, self.k,
+                          self._user_hist(padded), self.model.states)
+
+    def __call__(self, batch: Dict[str, np.ndarray]
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+        """Serve one request: ``(scores [n, k], item ids [n, k], 1-based)``."""
+        t0 = time.time()
+        padded, n = self._pad(batch)
+        scores, items = self._call_padded(padded)
+        scores = np.asarray(scores)[:n]   # the host read is the fence
+        items = np.asarray(items)[:n]
+        self._lat_ms.append((time.time() - t0) * 1e3)
+        self.n_requests += 1
+        return scores, items
+
+    # ------------------------------------------------------------------
+    def stats(self) -> Dict[str, float]:
+        lat = sorted(self._lat_ms) or [0.0]
+        return {
+            "requests": self.n_requests,
+            "p50_ms": lat[len(lat) // 2],
+            "p99_ms": lat[min(len(lat) - 1, int(len(lat) * 0.99))],
+            "mean_ms": float(np.mean(lat)),
+        }
+
+
+def load_for_serving(checkpoint_path: str, train_data):
+    """Re-hydrate a model from a full-fidelity checkpoint for inference.
+
+    ``train_data`` is the built dataset (vocab sizes / feature schema live
+    there, as in the reference's load flow, reference utils/utils.py:87-120).
+    """
+    import pickle
+
+    from .utils import get_model, seed_everything
+    with open(checkpoint_path, "rb") as f:
+        payload = pickle.load(f)
+    model_class, _ = get_model(payload["model"])
+    seed_everything(payload["config"]["train"].get("seed") or 2022)
+    model = model_class(payload["config"])
+    model._init_model(train_data)        # build nets from the data schema
+    model._init_parameter(train_data)    # template params for from_bytes
+    model.load_checkpoint(checkpoint_path)
+    model._epoch_refresh(-1)
+    return model
