@@ -107,6 +107,18 @@ class BaseRanker(Recommender):
         return self.net.apply({"params": params, **(net_state or {})}, batch,
                               training=training, rngs=rngs)
 
+    def predict(self, batch: Dict[str, np.ndarray], with_sigmoid: bool = True
+                ) -> np.ndarray:
+        """Serve CTR scores for a feature batch (reference exposes only the
+        torch forward; this is the jitted inference entry the serving layer
+        uses). Returns probabilities (``with_sigmoid=True``) or raw logits."""
+        dev = batch_to_device(batch)
+        logits = jax.jit(self.score)(self.params, dev,
+                                     net_state=self.states.get("net"))
+        if with_sigmoid:
+            logits = jax.nn.sigmoid(logits)
+        return np.asarray(logits)
+
     def _calibration_forward(self, params, batch, net_state):
         import flax
         _, upd = self.net.apply({"params": params, **net_state}, batch,

@@ -111,6 +111,70 @@ class Predictor:
         }
 
 
+class ScorePredictor:
+    """Fixed-shape CTR scorer for a fitted :class:`BaseRanker`.
+
+    Pads each feature batch to ``max_batch`` (one compiled program for the
+    whole service) and returns sigmoid probabilities per row.
+    """
+
+    def __init__(self, model, max_batch: int = 256, train_data=None,
+                 with_sigmoid: bool = True):
+        self.model = model
+        self.max_batch = int(max_batch)
+        self.with_sigmoid = with_sigmoid
+        # joins user/item side features by id, as the training loader does
+        # (data/dataset.py:_gather_entity_feats)
+        self._feat_join = getattr(train_data, "_gather_entity_feats", None) \
+            if train_data is not None else None
+        net_state = model.states.get("net")
+        self._score = jax.jit(
+            lambda params, batch: model.score(params, batch,
+                                              net_state=net_state))
+        self._lat_ms = []
+        self.n_requests = 0
+
+    def warm(self, example: Dict[str, np.ndarray]):
+        padded, _ = self._pad(example)
+        out = self._run(padded)
+        float(np.asarray(out).sum())   # host read: genuinely complete
+        return self
+
+    def _pad(self, batch: Dict[str, np.ndarray]) -> Tuple[Dict, int]:
+        if self._feat_join is not None:
+            batch = self._feat_join(dict(batch))
+        n = len(next(iter(batch.values())))
+        if n > self.max_batch:
+            raise ValueError(f"request batch {n} > max_batch {self.max_batch}")
+        out = {}
+        for key, value in batch.items():
+            value = np.asarray(value)
+            pad = [(0, self.max_batch - n)] + [(0, 0)] * (value.ndim - 1)
+            out[key] = np.pad(value, pad)
+        return out, n
+
+    def _run(self, padded):
+        from .models.basemodel.recommender import batch_to_device
+        return self._score(self.model.params, batch_to_device(padded))
+
+    def __call__(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
+        t0 = time.time()
+        padded, n = self._pad(batch)
+        logits = np.asarray(self._run(padded))[:n]   # host read = fence
+        if self.with_sigmoid:
+            logits = 1.0 / (1.0 + np.exp(-logits))
+        self._lat_ms.append((time.time() - t0) * 1e3)
+        self.n_requests += 1
+        return logits
+
+    def stats(self) -> Dict[str, float]:
+        lat = sorted(self._lat_ms) or [0.0]
+        return {"requests": self.n_requests,
+                "p50_ms": lat[len(lat) // 2],
+                "p99_ms": lat[min(len(lat) - 1, int(len(lat) * 0.99))],
+                "mean_ms": float(np.mean(lat))}
+
+
 def load_for_serving(checkpoint_path: str, train_data):
     """Re-hydrate a model from a full-fidelity checkpoint for inference.
 

@@ -65,6 +65,27 @@ def test_predictor_rejects_oversize(fitted_bpr):
         pred({m.fuid: np.arange(5)})
 
 
+def test_ranker_score_predictor():
+    from recstudio_tpu.quickstart import run
+    from recstudio_tpu.serving import ScorePredictor
+    m, datasets, _ = run("LR", "ml-100k",
+                         model_config={"train": {"epochs": 2, "batch_size": 512}},
+                         verbose=False)
+    trn = datasets[0]
+    # a request carries ids + context features (e.g. timestamp); user/item
+    # side features are joined server-side from the dataset
+    batch = {f: trn.inter_feat.get_col(f)[:7]
+             for f in (m.fuid, m.fiid, "timestamp")}
+    pred = ScorePredictor(m, max_batch=16, train_data=trn).warm(batch)
+    p = pred(batch)
+    assert p.shape == (7,)
+    assert np.isfinite(p).all() and (p >= 0).all() and (p <= 1).all()
+    # matches the model's own predict() on the feature-joined batch
+    joined = trn._gather_entity_feats(dict(batch))
+    np.testing.assert_allclose(p, m.predict(joined), rtol=1e-5)
+    assert pred.stats()["requests"] == 1
+
+
 def test_load_for_serving_roundtrip(fitted_bpr, tmp_path):
     m, trn = fitted_bpr
     path = str(tmp_path / "bpr.ckpt")
