@@ -149,7 +149,11 @@ def _ivf_search_block(index, item_vectors, query, k, nprobe, user_hist):
         s = jnp.where(hit, -jnp.inf, s)
 
     v, sel = jax.lax.top_k(s, k)
-    return v, jnp.take_along_axis(cand, sel, axis=-1)
+    ids = jnp.take_along_axis(cand, sel, axis=-1)
+    # fewer than k valid candidates in the probed lists: the selected slot
+    # is an empty sentinel (score -inf) — return pad id -1 (callers add 1
+    # -> 0), never an out-of-vocabulary id
+    return v, jnp.where(jnp.isfinite(v), ids, -1)
 
 
 @partial(jax.jit, static_argnums=(3, 4, 6))

@@ -113,8 +113,10 @@ class BaseRanker(Recommender):
         torch forward; this is the jitted inference entry the serving layer
         uses). Returns probabilities (``with_sigmoid=True``) or raw logits."""
         dev = batch_to_device(batch)
-        logits = jax.jit(self.score)(self.params, dev,
-                                     net_state=self.states.get("net"))
+        if not hasattr(self, "_predict_jit"):
+            self._predict_jit = jax.jit(self.score)   # one trace per shape
+        logits = self._predict_jit(self.params, dev,
+                                   net_state=self.states.get("net"))
         if with_sigmoid:
             logits = jax.nn.sigmoid(logits)
         return np.asarray(logits)

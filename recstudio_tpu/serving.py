@@ -31,29 +31,18 @@ import jax
 import numpy as np
 
 
-class Predictor:
-    """Fixed-shape batched top-k server for a fitted retriever."""
+class _FixedShapeServer:
+    """Shared pad-to-static-batch + latency accounting."""
 
-    def __init__(self, model, max_batch: int = 32, k: int = 20,
-                 train_data=None, exclude_history: bool = True):
-        self.model = model
-        self.max_batch = int(max_batch)
-        self.k = int(k)
-        self.exclude_history = exclude_history
-        # one refresh: item vectors (+ sampler/ann state) snapshotted for
-        # serving; call again after further training
-        if "item_vector" not in model.states:
-            model._epoch_refresh(-1)
-        self._topk = jax.jit(model.topk, static_argnums=(2,))
-        # [num_users, H] 1-based interacted-item matrix (0 = pad), the same
-        # source the eval loader uses (data/dataset.py:897-898)
-        self._hist = getattr(train_data, "user_hist", None) \
-            if train_data is not None else None
+    max_batch: int
+
+    def _init_stats(self):
         self._lat_ms = []
         self.n_requests = 0
 
-    # ------------------------------------------------------------------
     def _pad(self, batch: Dict[str, np.ndarray]) -> Tuple[Dict, int]:
+        if getattr(self, "_feat_join", None) is not None:
+            batch = self._feat_join(dict(batch))
         n = len(next(iter(batch.values())))
         if n > self.max_batch:
             raise ValueError(f"request batch {n} > max_batch {self.max_batch}"
@@ -65,6 +54,42 @@ class Predictor:
             out[key] = np.pad(value, pad)
         return out, n
 
+    def _record(self, t0: float):
+        self._lat_ms.append((time.time() - t0) * 1e3)
+        self.n_requests += 1
+
+    def stats(self) -> Dict[str, float]:
+        lat = sorted(self._lat_ms) or [0.0]
+        return {
+            "requests": self.n_requests,
+            "p50_ms": lat[len(lat) // 2],
+            "p99_ms": lat[min(len(lat) - 1, int(len(lat) * 0.99))],
+            "mean_ms": float(np.mean(lat)),
+        }
+
+
+class Predictor(_FixedShapeServer):
+    """Fixed-shape batched top-k server for a fitted retriever."""
+
+    def __init__(self, model, max_batch: int = 32, k: int = 20,
+                 train_data=None, exclude_history: bool = True):
+        self.model = model
+        self.max_batch = int(max_batch)
+        self.k = int(k)
+        self.exclude_history = exclude_history
+        # snapshot item vectors (+ ann index) from the CURRENT params —
+        # always: a training-time cached item_vector is one epoch stale
+        # (fit_loop refreshes BEFORE each epoch), and the ivf index is only
+        # built by the inference refresh
+        model._epoch_refresh(-1)
+        self._topk = jax.jit(model.topk, static_argnums=(2,))
+        # [num_users, H] 1-based interacted-item matrix (0 = pad), the same
+        # source the eval loader uses (data/dataset.py:897-898)
+        self._hist = getattr(train_data, "user_hist", None) \
+            if train_data is not None else None
+        self._init_stats()
+
+    # ------------------------------------------------------------------
     def _user_hist(self, batch: Dict[str, np.ndarray]):
         if not self.exclude_history or self._hist is None:
             return None
@@ -96,22 +121,11 @@ class Predictor:
         scores, items = self._call_padded(padded)
         scores = np.asarray(scores)[:n]   # the host read is the fence
         items = np.asarray(items)[:n]
-        self._lat_ms.append((time.time() - t0) * 1e3)
-        self.n_requests += 1
+        self._record(t0)
         return scores, items
 
-    # ------------------------------------------------------------------
-    def stats(self) -> Dict[str, float]:
-        lat = sorted(self._lat_ms) or [0.0]
-        return {
-            "requests": self.n_requests,
-            "p50_ms": lat[len(lat) // 2],
-            "p99_ms": lat[min(len(lat) - 1, int(len(lat) * 0.99))],
-            "mean_ms": float(np.mean(lat)),
-        }
 
-
-class ScorePredictor:
+class ScorePredictor(_FixedShapeServer):
     """Fixed-shape CTR scorer for a fitted :class:`BaseRanker`.
 
     Pads each feature batch to ``max_batch`` (one compiled program for the
@@ -131,27 +145,13 @@ class ScorePredictor:
         self._score = jax.jit(
             lambda params, batch: model.score(params, batch,
                                               net_state=net_state))
-        self._lat_ms = []
-        self.n_requests = 0
+        self._init_stats()
 
     def warm(self, example: Dict[str, np.ndarray]):
         padded, _ = self._pad(example)
         out = self._run(padded)
         float(np.asarray(out).sum())   # host read: genuinely complete
         return self
-
-    def _pad(self, batch: Dict[str, np.ndarray]) -> Tuple[Dict, int]:
-        if self._feat_join is not None:
-            batch = self._feat_join(dict(batch))
-        n = len(next(iter(batch.values())))
-        if n > self.max_batch:
-            raise ValueError(f"request batch {n} > max_batch {self.max_batch}")
-        out = {}
-        for key, value in batch.items():
-            value = np.asarray(value)
-            pad = [(0, self.max_batch - n)] + [(0, 0)] * (value.ndim - 1)
-            out[key] = np.pad(value, pad)
-        return out, n
 
     def _run(self, padded):
         from .models.basemodel.recommender import batch_to_device
@@ -163,16 +163,8 @@ class ScorePredictor:
         logits = np.asarray(self._run(padded))[:n]   # host read = fence
         if self.with_sigmoid:
             logits = 1.0 / (1.0 + np.exp(-logits))
-        self._lat_ms.append((time.time() - t0) * 1e3)
-        self.n_requests += 1
+        self._record(t0)
         return logits
-
-    def stats(self) -> Dict[str, float]:
-        lat = sorted(self._lat_ms) or [0.0]
-        return {"requests": self.n_requests,
-                "p50_ms": lat[len(lat) // 2],
-                "p99_ms": lat[min(len(lat) - 1, int(len(lat) * 0.99))],
-                "mean_ms": float(np.mean(lat))}
 
 
 def load_for_serving(checkpoint_path: str, train_data):

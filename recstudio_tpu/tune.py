@@ -105,7 +105,7 @@ def main(argv=None):
     out = args.out or os.path.join(
         "tune-results",
         f"{args.model}-{args.dataset}-{time.strftime('%Y%m%d-%H%M%S')}.csv")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
 
     rows = []
     param_keys = list(space)
@@ -134,7 +134,11 @@ def main(argv=None):
     monitor = next((k for k in rows[0]
                     if k not in param_keys and k not in ("trial", "wall_s")), None)
     if monitor:
-        best = max(rows, key=lambda r: r.get(monitor, float("-inf")))
+        lower_better = any(m in monitor for m in
+                           ("logloss", "mse", "mae", "rmse", "loss"))
+        pick = min if lower_better else max
+        best = pick(rows, key=lambda r: r.get(
+            monitor, float("inf") if lower_better else float("-inf")))
         print(f"best by {monitor}: trial {best['trial']} "
               f"({ {k: best[k] for k in param_keys} }) -> {best[monitor]}")
     print(f"wrote {len(rows)} trials to {out}")
