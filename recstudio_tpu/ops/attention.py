@@ -125,7 +125,7 @@ _FLASH_THRESHOLD = 512   # Lk above which the tiled kernel takes over
 _TQ, _TK = 128, 512
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, pad_ref, attn_ref, out_ref,
+def _flash_kernel(q_ref, k_ref, v_ref, pad_ref, attn_ref, out_ref, lse_ref,
                   m_ref, l_ref, acc_ref, *, scale, nk):
     ki = pl.program_id(3)
 
@@ -157,6 +157,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, pad_ref, attn_ref, out_ref,
     @pl.when(ki == nk - 1)
     def _finish():
         out_ref[0, 0] = acc_ref[:] / l_ref[:, :1]
+        # log-sum-exp per query row (lane-broadcast) — the backward
+        # residual that lets the bwd kernels recompute p tile-by-tile
+        lse_ref[0, 0] = m_ref[:] + jnp.log(l_ref[:])
 
 
 def _mha_flash(q, k, v, pad_add, attn_add):
@@ -179,7 +182,7 @@ def _mha_flash(q, k, v, pad_add, attn_add):
     attnp = jnp.pad(attn_add.astype(jnp.float32),
                     ((0, Lqp - Lq), (0, Lkp - Lk)))
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         partial(_flash_kernel, scale=1.0 / (Dh ** 0.5), nk=nk),
         grid=(B, H, nq, nk),
         in_specs=[
@@ -189,8 +192,14 @@ def _mha_flash(q, k, v, pad_add, attn_add):
             pl.BlockSpec((1, 1, TK), lambda b, h, qi, ki: (b, 0, ki)),
             pl.BlockSpec((TQ, TK), lambda b, h, qi, ki: (qi, ki)),
         ],
-        out_specs=pl.BlockSpec((1, 1, TQ, Dp), lambda b, h, qi, ki: (b, h, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, H, Lqp, Dp), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, 1, TQ, Dp), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, TQ, 128), lambda b, h, qi, ki: (b, h, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Lqp, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Lqp, 128), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((TQ, 128), jnp.float32),   # running max (lane-bcast)
             pltpu.VMEM((TQ, 128), jnp.float32),   # running denominator
@@ -200,17 +209,156 @@ def _mha_flash(q, k, v, pad_add, attn_add):
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
     )(qp, kp, vp, padp, attnp)
-    return out[:, :, :Lq, :Dh].astype(q.dtype)
+    return out[:, :, :Lq, :Dh].astype(q.dtype), lse
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, pad_ref, attn_ref, do_ref,
+                         o_ref, lse_ref, dq_ref, acc_ref, *, scale, nk):
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
+    do, o = do_ref[0, 0], o_ref[0, 0]
+    lse = lse_ref[0, 0]                                    # [TQ, 128]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    s = jnp.maximum(s + attn_ref[:] + pad_ref[0],
+                    jnp.float32(jnp.finfo(jnp.float32).min))
+    p = jnp.exp(s - lse[:, :1])                            # [TQ, TK]
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    delta = (do * o).sum(axis=-1, keepdims=True)           # [TQ, 1]
+    ds = p * (dp - delta)
+    acc_ref[:] = acc_ref[:] + \
+        jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        dq_ref[0, 0] = acc_ref[:]
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, pad_ref, attn_ref, do_ref,
+                          o_ref, lse_ref, dk_ref, dv_ref,
+                          dk_acc, dv_acc, *, scale, nq):
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
+    do, o = do_ref[0, 0], o_ref[0, 0]
+    lse = lse_ref[0, 0]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    s = jnp.maximum(s + attn_ref[:] + pad_ref[0],
+                    jnp.float32(jnp.finfo(jnp.float32).min))
+    p = jnp.exp(s - lse[:, :1])                            # [TQ, TK]
+    dv_acc[:] = dv_acc[:] + jnp.dot(p.T, do,
+                                    preferred_element_type=jnp.float32)
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    delta = (do * o).sum(axis=-1, keepdims=True)
+    ds = p * (dp - delta)                                  # [TQ, TK]
+    dk_acc[:] = dk_acc[:] + \
+        jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * scale
+
+    @pl.when(qi == nq - 1)
+    def _finish():
+        dk_ref[0, 0] = dk_acc[:]
+        dv_ref[0, 0] = dv_acc[:]
+
+
+def _flash_bwd(q, k, v, pad_add, attn_add, o, lse_p, g):
+    """Tiled flash backward: dq accumulated over KV tiles, dk/dv over Q
+    tiles — the [B, H, Lq, Lk] logits are never materialized (the v1
+    backward recomputed through the unfused XLA path, which at Lk>512 was
+    exactly the HBM blow-up the forward kernel exists to avoid)."""
+    B, H, Lq, Dh = q.shape
+    Lk = k.shape[2]
+    TQ, TK = min(_TQ, _round_up(Lq, 8)), min(_TK, _round_up(Lk, 128))
+    Lqp, Lkp, Dp = _round_up(Lq, TQ), _round_up(Lk, TK), _round_up(Dh, 128)
+    nq, nk = Lqp // TQ, Lkp // TK
+    NEG = float(jnp.finfo(jnp.float32).min)
+    scale = 1.0 / (Dh ** 0.5)
+
+    f32 = jnp.float32
+    qp = jnp.pad(q.astype(f32), ((0, 0), (0, 0), (0, Lqp - Lq), (0, Dp - Dh)))
+    kp = jnp.pad(k.astype(f32), ((0, 0), (0, 0), (0, Lkp - Lk), (0, Dp - Dh)))
+    vp = jnp.pad(v.astype(f32), ((0, 0), (0, 0), (0, Lkp - Lk), (0, Dp - Dh)))
+    dop = jnp.pad(g.astype(f32), ((0, 0), (0, 0), (0, Lqp - Lq), (0, Dp - Dh)))
+    op = jnp.pad(o.astype(f32), ((0, 0), (0, 0), (0, Lqp - Lq), (0, Dp - Dh)))
+    if pad_add is None:
+        pad_add = jnp.zeros((B, Lk), f32)
+    padp = jnp.pad(pad_add.astype(f32), ((0, 0), (0, Lkp - Lk)),
+                   constant_values=NEG)[:, None, :]
+    if attn_add is None:
+        attn_add = jnp.zeros((Lq, Lk), f32)
+    attnp = jnp.pad(attn_add.astype(f32), ((0, Lqp - Lq), (0, Lkp - Lk)))
+
+    dq = pl.pallas_call(
+        partial(_flash_bwd_dq_kernel, scale=scale, nk=nk),
+        grid=(B, H, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, TQ, Dp), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, TK, Dp), lambda b, h, qi, ki: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, TK, Dp), lambda b, h, qi, ki: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, TK), lambda b, h, qi, ki: (b, 0, ki)),
+            pl.BlockSpec((TQ, TK), lambda b, h, qi, ki: (qi, ki)),
+            pl.BlockSpec((1, 1, TQ, Dp), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, TQ, Dp), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, TQ, 128), lambda b, h, qi, ki: (b, h, qi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, TQ, Dp), lambda b, h, qi, ki: (b, h, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, Lqp, Dp), f32),
+        scratch_shapes=[pltpu.VMEM((TQ, Dp), f32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(qp, kp, vp, padp, attnp, dop, op, lse_p)
+
+    dk, dv = pl.pallas_call(
+        partial(_flash_bwd_dkv_kernel, scale=scale, nq=nq),
+        grid=(B, H, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, TQ, Dp), lambda b, h, ki, qi: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, TK, Dp), lambda b, h, ki, qi: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, TK, Dp), lambda b, h, ki, qi: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, TK), lambda b, h, ki, qi: (b, 0, ki)),
+            pl.BlockSpec((TQ, TK), lambda b, h, ki, qi: (qi, ki)),
+            pl.BlockSpec((1, 1, TQ, Dp), lambda b, h, ki, qi: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, TQ, Dp), lambda b, h, ki, qi: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, TQ, 128), lambda b, h, ki, qi: (b, h, qi, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, TK, Dp), lambda b, h, ki, qi: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, TK, Dp), lambda b, h, ki, qi: (b, h, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Lkp, Dp), f32),
+            jax.ShapeDtypeStruct((B, H, Lkp, Dp), f32),
+        ],
+        scratch_shapes=[pltpu.VMEM((TK, Dp), f32), pltpu.VMEM((TK, Dp), f32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(qp, kp, vp, padp, attnp, dop, op, lse_p)
+
+    return (dq[:, :, :Lq, :Dh].astype(q.dtype),
+            dk[:, :, :Lk, :Dh].astype(k.dtype),
+            dv[:, :, :Lk, :Dh].astype(v.dtype))
 
 
 def _dispatch(q, k, v, pad_add, attn_add):
     if k.shape[2] > _FLASH_THRESHOLD:
-        return _mha_flash(q, k, v, pad_add, attn_add)
+        return _mha_flash(q, k, v, pad_add, attn_add)[0]
     return _mha_pallas(q, k, v, pad_add, attn_add)
 
 
 # ---------------------------------------------------------------------------
-# public op with custom VJP (backward through the XLA reference)
+# public op with custom VJP: flash regime gets a tiled flash backward (no
+# [B, H, Lq, Lk] logits anywhere); the short regime recomputes through the
+# XLA reference, which is exact and cheap at Lk <= 512
 # ---------------------------------------------------------------------------
 @jax.custom_vjp
 def _fused_mha_core(q, k, v, pad_add, attn_add):
@@ -218,11 +366,18 @@ def _fused_mha_core(q, k, v, pad_add, attn_add):
 
 
 def _fwd(q, k, v, pad_add, attn_add):
-    return _dispatch(q, k, v, pad_add, attn_add), (q, k, v, pad_add, attn_add)
+    if k.shape[2] > _FLASH_THRESHOLD:
+        out, lse = _mha_flash(q, k, v, pad_add, attn_add)
+        return out, (q, k, v, pad_add, attn_add, out, lse)
+    return _mha_pallas(q, k, v, pad_add, attn_add), \
+        (q, k, v, pad_add, attn_add, None, None)
 
 
 def _bwd(res, g):
-    q, k, v, pad_add, attn_add = res
+    q, k, v, pad_add, attn_add, o, lse = res
+    if lse is not None:
+        dq, dk, dv = _flash_bwd(q, k, v, pad_add, attn_add, o, lse, g)
+        return dq, dk, dv, None, None
     _, vjp = jax.vjp(lambda q_, k_, v_: mha_xla(q_, k_, v_, pad_add, attn_add),
                      q, k, v)
     dq, dk, dv = vjp(g)

@@ -176,6 +176,33 @@ def test_flash_attention_parity_4k():
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
 
 
+def test_flash_attention_grads_masked():
+    """Tiled flash BACKWARD (dq/dk/dv kernels) vs XLA autodiff, with causal
+    + padding masks at a multi-tile length."""
+    from recstudio_tpu.ops.attention import fused_mha, mha_xla
+    B, H, L, Dh = 2, 2, 1024, 32
+    key = jax.random.PRNGKey(11)
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (B, H, L, Dh))
+               for i in range(3))
+    pad = jax.random.bernoulli(jax.random.fold_in(key, 3), 0.3, (B, L))
+    pad = pad.at[:, 0].set(False)
+    causal = jnp.triu(jnp.ones((L, L), bool), 1)
+    neg = jnp.finfo(jnp.float32).min
+
+    def loss_fused(q, k, v):
+        return (fused_mha(q, k, v, pad, causal) ** 2).sum()
+
+    def loss_xla(q, k, v):
+        return (mha_xla(q, k, v, jnp.where(pad, neg, 0.0),
+                        jnp.where(causal, neg, 0.0)) ** 2).sum()
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for x, y in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=5e-4, atol=5e-4)
+
+
 def test_flash_attention_grads():
     from recstudio_tpu.ops.attention import fused_mha, mha_xla
     B, H, L, Dh = 1, 2, 640, 16  # > threshold -> flash path
