@@ -15,6 +15,7 @@ completion), and it transitively waits on every prior epoch through the
 donated params chain — so the window covers all K epochs of real work.
 """
 import json
+import sys
 import time
 
 import numpy as np
@@ -68,21 +69,59 @@ def bench_eval_qps(name="BPR", repeats=20):
     return n_queries * repeats / dt, float(out["recall@20"])
 
 
-def main():
+def _run_section(section: str) -> dict:
+    """One bench section; prints a single JSON dict on stdout."""
     np.random.seed(42)
-    extra = {}
+    if section == "bpr":
+        return {"bpr": round(bench_train("BPR", 50), 1)}
+    if section == "sasrec":
+        return {"SASRec examples/s": round(bench_train("SASRec", 10), 1)}
+    if section == "lightgcn":
+        return {"LightGCN examples/s": round(bench_train("LightGCN", 20), 1)}
+    if section == "deepfm":
+        return {"DeepFM examples/s": round(bench_train("DeepFM", 20), 1)}
+    if section == "eval":
+        qps, r20 = bench_eval_qps("BPR")
+        return {"BPR eval qps (full catalog)": round(qps, 1),
+                "BPR eval recall@20": round(r20, 4),
+                "eval qps vs_baseline": round(qps / BASELINE_EVAL_QPS, 3)}
+    raise SystemExit(f"unknown section {section}")
 
-    bpr = bench_train("BPR", 50)
-    extra["SASRec examples/s"] = round(bench_train("SASRec", 10), 1)
-    extra["LightGCN examples/s"] = round(bench_train("LightGCN", 20), 1)
-    extra["DeepFM examples/s"] = round(bench_train("DeepFM", 20), 1)
-    qps, r20 = bench_eval_qps("BPR")
-    extra["BPR eval qps (full catalog)"] = round(qps, 1)
-    extra["BPR eval recall@20"] = round(r20, 4)
-    extra["SASRec vs_baseline"] = round(extra["SASRec examples/s"] / BASELINE_EXAMPLES_PER_S, 3)
-    extra["LightGCN vs_baseline"] = round(extra["LightGCN examples/s"] / BASELINE_EXAMPLES_PER_S, 3)
-    extra["DeepFM vs_baseline"] = round(extra["DeepFM examples/s"] / BASELINE_EXAMPLES_PER_S, 3)
-    extra["eval qps vs_baseline"] = round(qps / BASELINE_EVAL_QPS, 3)
+
+def main():
+    """Run every section in a SUBPROCESS with a hard timeout: the tunneled
+    compile service can hang a fresh compile indefinitely, and a blocked
+    PJRT call cannot be interrupted in-process — one stuck section must not
+    zero the whole bench (the driver records only the final JSON line)."""
+    import subprocess
+    extra = {}
+    results = {}
+    for section, budget in [("bpr", 2400), ("sasrec", 1500),
+                            ("lightgcn", 1500), ("deepfm", 1500),
+                            ("eval", 1500)]:
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--section", section],
+                capture_output=True, text=True, timeout=budget)
+            line = next((ln for ln in proc.stdout.splitlines()[::-1]
+                         if ln.startswith("{")), None)
+            if line:
+                results.update(json.loads(line))
+            else:
+                print(f"[bench] section '{section}' produced no JSON "
+                      f"(rc={proc.returncode})", file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"[bench] section '{section}' exceeded {budget}s — killed",
+                  file=sys.stderr, flush=True)
+
+    bpr = results.pop("bpr", None)
+    extra.update(results)
+    for name in ("SASRec", "LightGCN", "DeepFM"):
+        if f"{name} examples/s" in extra:
+            extra[f"{name} vs_baseline"] = round(
+                extra[f"{name} examples/s"] / BASELINE_EXAMPLES_PER_S, 3)
+    if bpr is None:   # headline section hung: report what we have
+        bpr = extra.get("DeepFM examples/s", 0.0)
 
     print(json.dumps({
         "metric": "BPR/ml-100k train throughput (1 chip)",
@@ -94,4 +133,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--section":
+        print(json.dumps(_run_section(sys.argv[2])))
+    else:
+        main()
