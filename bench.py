@@ -15,6 +15,7 @@ completion), and it transitively waits on every prior epoch through the
 donated params chain — so the window covers all K epochs of real work.
 """
 import json
+import os
 import sys
 import time
 
@@ -23,6 +24,10 @@ import numpy as np
 BASELINE_EXAMPLES_PER_S = 200_000.0
 # reference validation pass: 0.18-0.32 s for 943 ml-100k users (README.md:199)
 BASELINE_EVAL_QPS = 943 / 0.25
+# BENCH_SMOKE=1: tiny epoch counts so CI can exercise the whole
+# orchestration (sections, subprocesses, JSON merge) on CPU in minutes —
+# the numbers it prints are NOT benchmarks
+SMOKE = bool(int(os.environ.get("BENCH_SMOKE", "0")))
 
 
 def _build(name, train_overrides=None):
@@ -41,9 +46,11 @@ def _build(name, train_overrides=None):
 
 def bench_train(name, timed_epochs, train_overrides=None):
     """examples/s over `timed_epochs` read-fenced epochs."""
+    if SMOKE:
+        timed_epochs = 1
     model, trn, _ = _build(name, train_overrides)
     n_examples = len(trn.data_index)
-    for _ in range(3):  # settle compile + transport
+    for _ in range(1 if SMOKE else 3):  # settle compile + transport
         loss = model.training_epoch(0)
     assert np.isfinite(float(loss)), f"{name} warmup loss not finite"
     t0 = time.time()
@@ -57,8 +64,10 @@ def bench_train(name, timed_epochs, train_overrides=None):
 def bench_eval_qps(name="BPR", repeats=20):
     """Full-catalog top-k eval passes/s -> queries/s, plus the Recall@20 the
     number was measured at (BASELINE.md: 'queries/s at fixed Recall@20')."""
+    if SMOKE:
+        repeats = 2
     model, trn, tst = _build(name, {"epochs": 20})
-    for _ in range(20):
+    for _ in range(2 if SMOKE else 20):
         model.training_epoch(0)
     n_queries = len(tst.data_index)
     out = model._eval_epoch(tst, ["recall"], cutoffs=[20])  # compile + warm
