@@ -194,14 +194,33 @@ class BaseRetriever(Recommender):
     # ------------------------------------------------------------------
     # pure-function applications
     # ------------------------------------------------------------------
+    def _mixed_precision(self) -> bool:
+        return str(self.config["train"].get("precision", "fp32")).lower() \
+            in ("bf16", "bfloat16")
+
     def _apply(self, params, method: str, *args, rng=None, training: bool = False,
                net_state=None):
         rngs = {"dropout": rng} if (rng is not None and training) else None
+        # `train.precision: bf16` = true mixed precision through the towers:
+        # master params stay f32 (optimizer side), the forward runs with
+        # bf16 params + activations (profiled SASRec is activation-bandwidth
+        # bound — elementwise/layernorm traffic, not MXU flops), outputs
+        # return to f32 for scores/losses. Grads flow through the casts.
+        mp = self._mixed_precision() and method in ("encode_query", "encode_item")
+        if mp:
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
         variables = {"params": params, **(net_state or {})}
-        return self.net.apply(variables, *args, training=training,
-                              method=getattr(self.net, method), rngs=rngs) \
+        out = self.net.apply(variables, *args, training=training,
+                             method=getattr(self.net, method), rngs=rngs) \
             if method in ("encode_query", "encode_item") else \
             self.net.apply(variables, *args, method=getattr(self.net, method))
+        if mp:
+            out = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32)
+                if jnp.issubdtype(x.dtype, jnp.bfloat16) else x, out)
+        return out
 
     def _calibration_forward(self, params, batch, net_state):
         """Mutable pass through both towers (batch-norm recalibration)."""
