@@ -70,6 +70,34 @@ class BaseRanker(Recommender):
             }
         self.net = self._get_score_net(train_data)
 
+    def _device_epoch_refresh_fn(self):
+        """Jit-safe stage-1 refresh for cascaded rankers: the retriever's
+        params live in ``states`` (never trained here), so its catalog
+        re-encode + sampler re-index are pure functions of the states pytree
+        and can run inside the block-fit jit."""
+        if self.retriever is None:
+            return None
+        from ...ann.sampler import RetrieverSampler
+        if isinstance(getattr(self.retriever, "sampler", None), RetrieverSampler):
+            return None
+        stateful = self.retriever._sampler_is_stateful()
+
+        def refresh(params, states, rng):
+            retr = states["retriever"]
+            rs = dict(retr["states"])
+            item_vector = self.retriever._item_vectors(retr["params"],
+                                                       retr["states"])
+            rs["item_vector"] = item_vector
+            if stateful:
+                sampler_state = self.retriever.sampler.update(rng, item_vector)
+                if sampler_state != ():
+                    rs["sampler"] = sampler_state
+            new = dict(states)
+            new["retriever"] = {"params": retr["params"], "states": rs}
+            return new
+
+        return refresh
+
     def _epoch_refresh(self, nepoch: int) -> None:
         if self.retriever is None:
             return

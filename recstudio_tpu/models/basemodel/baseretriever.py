@@ -284,6 +284,31 @@ class BaseRetriever(Recommender):
     def _ann_enabled(self) -> bool:
         return str(self.config["train"].get("ann") or "").lower() == "ivf"
 
+    def _device_epoch_refresh_fn(self):
+        """Jit-safe per-epoch refresh: re-encode the catalog and re-index the
+        sampler (k-means / LSH are pure JAX, ops/kmeans.py) so block fitting
+        can run the refresh inside the epoch scan. RetrieverSampler is
+        excluded: its state derives from ANOTHER model's host-side params,
+        which a jit would bake in as stale constants."""
+        need_vec = self._train_needs_item_vector()
+        stateful = self._sampler_is_stateful()
+        if not (need_vec or stateful):
+            return None
+        if isinstance(self.sampler, RetrieverSampler):
+            return None
+
+        def refresh(params, states, rng):
+            new = dict(states)
+            item_vector = self._item_vectors(params, states)
+            new["item_vector"] = item_vector
+            if stateful:
+                sampler_state = self.sampler.update(rng, item_vector)
+                if sampler_state != ():
+                    new["sampler"] = sampler_state
+            return new
+
+        return refresh
+
     def _epoch_refresh(self, nepoch: int):
         # eval steps encode the catalog inside their own jit; during training
         # only refresh what the train step actually consumes (mirrors the

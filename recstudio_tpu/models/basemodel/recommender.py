@@ -268,6 +268,14 @@ class Recommender:
         """Rebuild per-epoch states (item vectors / sampler indices)."""
         pass
 
+    def _device_epoch_refresh_fn(self):
+        """Pure-function equivalent of ``_epoch_refresh`` usable INSIDE a jit:
+        ``(params, states, rng) -> states``. Models whose per-epoch refresh is
+        entirely on-device computation (item-vector re-encode, k-means sampler
+        re-indexing) return it so block fitting can run the refresh inside the
+        epoch scan; ``None`` means the refresh needs the host."""
+        return None
+
     # ------------------------------------------------------------------
     # batch-norm population statistics (torch swa_utils.update_bn recipe):
     # before evaluation, stream training batches through the net with
@@ -492,16 +500,23 @@ class Recommender:
         from .baseranker import BaseRanker
         from .baseretriever import BaseRetriever
         if isinstance(self, BaseRetriever):
-            # per-epoch host-side refresh (item-vector cache rebuild for
-            # mining methods / stateful samplers / model-specific state like
-            # NCL's k-means prototypes) cannot run inside the block
+            # model-specific host-side refresh (e.g. NCL's k-means prototype
+            # rebuild against its own schedule) cannot run inside the block
             if refresh is not BaseRetriever._epoch_refresh:
                 return False
-            return not (self._train_needs_item_vector()
-                        or self._sampler_is_stateful())
+            if self._train_needs_item_vector() or self._sampler_is_stateful():
+                # mining methods / stateful samplers: eligible iff the refresh
+                # (catalog re-encode + sampler re-index) compiles on device
+                return self._device_epoch_refresh_fn() is not None
+            return True
         if isinstance(self, BaseRanker):
-            # retriever-cascaded rankers refresh stage-1 state per epoch
-            return refresh is BaseRanker._epoch_refresh and self.retriever is None
+            if refresh is not BaseRanker._epoch_refresh:
+                return False
+            if self.retriever is not None:
+                # cascaded rankers: stage-1 item-vector/sampler refresh must
+                # run on device inside the block
+                return self._device_epoch_refresh_fn() is not None
+            return True
         return False
 
     def _device_val_metric(self, sums, weight, globs):
@@ -539,6 +554,7 @@ class Recommender:
             host_stacked=host)
         mode_max = self.config["train"].get("early_stop_mode", "max") != "min"
         epoch_core = self._scan_epoch_core
+        refresh_fn = self._device_epoch_refresh_fn()
 
         # batch-norm models: recalibrate population stats on device before
         # each in-block validation pass (same recipe as _refresh_net_state)
@@ -567,14 +583,22 @@ class Recommender:
             def one(carry, e):
                 params, opt_state, best_params, best_net, best_metric = carry
                 erng = jax.random.fold_in(rng, e)
+                if refresh_fn is not None:
+                    # the reference's per-epoch _update_item_vector +
+                    # sampler.update (reference recommender.py:561-570), run
+                    # ON DEVICE inside the block jit
+                    states_e = refresh_fn(params, states,
+                                          jax.random.fold_in(erng, 0x5EED))
+                else:
+                    states_e = states
                 params, opt_state, loss = epoch_core(params, opt_state, erng,
-                                                     data, states)
+                                                     data, states_e)
                 if calibrate is not None:
-                    net = calibrate(params, states["net"])
-                    eval_states = {**states, "net": net}
+                    net = calibrate(params, states_e["net"])
+                    eval_states = {**states_e, "net": net}
                 else:
                     net = best_net  # empty placeholder
-                    eval_states = states
+                    eval_states = states_e
                 sums, weight, globs = scan_eval(params, eval_stacked, eval_states)
                 metric = self._device_val_metric(sums, weight, globs)
                 improved = (metric > best_metric) if mode_max else (metric < best_metric)

@@ -1,6 +1,7 @@
 """Block fitting: K epochs + on-device validation per dispatch must match the
 per-epoch host loop in both metrics and early-stopping bookkeeping."""
 import numpy as np
+import pytest
 
 from recstudio_tpu.quickstart import run
 
@@ -55,6 +56,49 @@ def test_checkpoint_resume_continues_training():
     res = m2.evaluate(tst, verbose=False)
     import numpy as np
     assert np.isfinite(res["ndcg@5"])
+
+
+def test_block_fit_stateful_sampler_midx():
+    """Stateful samplers (MIDX k-means re-index) run their per-epoch refresh
+    ON DEVICE inside the block jit — eligibility no longer falls back to the
+    per-epoch loop."""
+    over = _overrides(3)
+    over["train"].update(sampler="midx-uni", sampler_num_clusters=8,
+                         negative_count=2, epochs=4)
+    rec, _, res = run("BPR", "ml-100k", model_config=over, verbose=False)
+    assert getattr(rec, "_block_fit_fn", None) is not None, \
+        "MIDX-sampled BPR should block-fit (device-side refresh)"
+    assert np.isfinite(res["ndcg@5"]) and res["ndcg@5"] > 0
+
+
+@pytest.mark.slow
+def test_block_fit_mining_method_dns():
+    """Retrieval-based negative mining (dns) consumes the per-epoch item-
+    vector cache; the cache refresh now runs inside the block."""
+    over = _overrides(3)
+    over["train"].update(sampling_method="dns", negative_count=[10, 2],
+                         epochs=4)
+    rec, _, res = run("BPR", "ml-100k", model_config=over, verbose=False)
+    assert getattr(rec, "_block_fit_fn", None) is not None, \
+        "dns-mined BPR should block-fit (device-side item-vector refresh)"
+    assert np.isfinite(res["ndcg@5"]) and res["ndcg@5"] > 0
+
+
+@pytest.mark.slow
+def test_block_fit_matches_loop_midx():
+    """Block vs per-epoch loop for a stateful-sampler model: same engine
+    semantics, so metrics land close (RNG schedules differ by design)."""
+    over_b = _overrides(4)
+    over_b["train"].update(sampler="midx-uni", sampler_num_clusters=8,
+                           negative_count=2, epochs=4)
+    over_e = _overrides(0)
+    over_e["train"].update(sampler="midx-uni", sampler_num_clusters=8,
+                           negative_count=2, epochs=4)
+    rec_b, _, res_b = run("BPR", "ml-100k", model_config=over_b, verbose=False)
+    rec_e, _, res_e = run("BPR", "ml-100k", model_config=over_e, verbose=False)
+    assert getattr(rec_b, "_block_fit_fn", None) is not None
+    assert getattr(rec_e, "_block_fit_fn", None) is None
+    assert abs(res_b["ndcg@5"] - res_e["ndcg@5"]) < 0.06, (res_b, res_e)
 
 
 def test_fixed_seed_determinism():
