@@ -351,7 +351,15 @@ class AttentionLayer(nn.Module):
 
 class TransformerLayer(nn.Module):
     """Post-LN transformer encoder block (torch nn.TransformerEncoderLayer
-    semantics, as used by SASRec/BERT4Rec in the reference)."""
+    semantics, as used by SASRec/BERT4Rec in the reference).
+
+    Owns its parameters directly (fused ``qkv_kernel`` like torch's
+    ``in_proj_weight``) so the whole layer can execute as ONE fused Pallas
+    program on TPU (ops/transformer_layer.py) — at recsys shapes
+    (L ~ 20-50, D = 64-128) the per-op XLA path is dominated by HBM
+    round-trips of sub-tile intermediates. The XLA path below is the
+    reference semantics and the CPU/backstop implementation.
+    """
     d_model: int
     n_head: int
     dim_feedforward: int
@@ -361,21 +369,76 @@ class TransformerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, attn_mask=None, training: bool = False):
-        attn = MultiHeadAttention(self.d_model, n_head=self.n_head, dropout=self.dropout,
-                                  name="self_attn")(
-            x, x, x, key_padding_mask=key_padding_mask, attn_mask=attn_mask,
-            training=training)
+        d, F, H = self.d_model, self.dim_feedforward, self.n_head
+        init = nn.initializers.lecun_normal()
+        params = {
+            "qkv_kernel": self.param("qkv_kernel", init, (d, 3 * d)),
+            "qkv_bias": self.param("qkv_bias", nn.initializers.zeros, (3 * d,)),
+            "out_kernel": self.param("out_kernel", init, (d, d)),
+            "out_bias": self.param("out_bias", nn.initializers.zeros, (d,)),
+            "norm1_scale": self.param("norm1_scale", nn.initializers.ones, (d,)),
+            "norm1_bias": self.param("norm1_bias", nn.initializers.zeros, (d,)),
+            "ffn1_kernel": self.param("ffn1_kernel", init, (d, F)),
+            "ffn1_bias": self.param("ffn1_bias", nn.initializers.zeros, (F,)),
+            "ffn2_kernel": self.param("ffn2_kernel", init, (F, d)),
+            "ffn2_bias": self.param("ffn2_bias", nn.initializers.zeros, (d,)),
+            "norm2_scale": self.param("norm2_scale", nn.initializers.ones, (d,)),
+            "norm2_bias": self.param("norm2_bias", nn.initializers.zeros, (d,)),
+        }
+        from ...ops import attention as attn_ops
+        from ...ops import transformer_layer as ftl
+        B, L, _ = x.shape
+        if (attn_ops.supports_pallas()
+                and ftl.supports_fused_layer(d, L, H, F, self.activation)
+                and (attn_mask is None or attn_mask.ndim == 2)):
+            if training and self.dropout > 0:
+                bits = jax.random.bits(self.make_rng("dropout"),
+                                       dtype=jnp.uint32)
+                seed = (bits & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+            else:
+                seed = jnp.int32(0)
+            return ftl.fused_transformer_layer(
+                x, params, key_padding_mask, attn_mask, H, self.dropout,
+                self.activation, float(self.layer_norm_eps), training, seed)
+        return self._xla_layer(x, params, key_padding_mask, attn_mask, training)
+
+    def _xla_layer(self, x, params, key_padding_mask, attn_mask, training):
+        d, H = self.d_model, self.n_head
+        B, L, _ = x.shape
+        qkv = x @ params["qkv_kernel"] + params["qkv_bias"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        heads = lambda t: t.reshape(B, L, H, d // H).transpose(0, 2, 1, 3)
+        q, k, v = heads(q), heads(k), heads(v)
+        logits = (q @ k.transpose(0, 1, 3, 2)) / jnp.sqrt(d / H)
+        neg = jnp.finfo(logits.dtype).min
+        if attn_mask is not None:
+            m = attn_mask[None, None] if attn_mask.ndim == 2 else attn_mask[:, None]
+            logits = jnp.where(m, neg, logits)
+        if key_padding_mask is not None:
+            logits = jnp.where(key_padding_mask[:, None, None, :], neg, logits)
+        w = jax.nn.softmax(logits, axis=-1)
+        if self.dropout > 0:
+            w = nn.Dropout(self.dropout, deterministic=not training)(w)
+        attn = (w @ v).transpose(0, 2, 1, 3).reshape(B, L, d)
+        attn = attn @ params["out_kernel"] + params["out_bias"]
         if self.dropout > 0:
             attn = nn.Dropout(self.dropout, deterministic=not training)(attn)
-        x = nn.LayerNorm(epsilon=self.layer_norm_eps, name="norm1")(x + attn)
-        h = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        ln = lambda t, s, b: self._ln(t, params[s], params[b])
+        x = ln(x + attn, "norm1_scale", "norm1_bias")
+        h = x @ params["ffn1_kernel"] + params["ffn1_bias"]
         h = get_act(self.activation)(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=not training)(h)
-        h = nn.Dense(self.d_model, name="linear2")(h)
+        h = h @ params["ffn2_kernel"] + params["ffn2_bias"]
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=not training)(h)
-        return nn.LayerNorm(epsilon=self.layer_norm_eps, name="norm2")(x + h)
+        return ln(x + h, "norm2_scale", "norm2_bias")
+
+    def _ln(self, t, scale, bias):
+        mu = t.mean(-1, keepdims=True)
+        xc = t - mu
+        var = (xc * xc).mean(-1, keepdims=True)
+        return xc * jax.lax.rsqrt(var + self.layer_norm_eps) * scale + bias
 
 
 class TransformerEncoder(nn.Module):

@@ -1,0 +1,398 @@
+"""Fused post-LN transformer layer: one Pallas program per tile of examples.
+
+Why: the recsys sequence regime (L ~ 20-50, D = 64-128, reference
+``AttentionLayer``/torch ``TransformerEncoderLayer`` at
+recstudio/model/module/layers.py:322 and seq/sasrec.py:8-67) is hostile to
+per-op execution. A SASRec training step is ~100 XLA kernels over sub-tile
+tensors ([B*L, 64] pads half the 128-lane VREG, [B, H, 20, 20] logits pad
+6x), so HBM round-trips and launch overhead dominate — the actual MXU work
+is ~100 us. This kernel runs the ENTIRE layer in VMEM per tile of ``TB``
+examples:
+
+    qkv = x @ Wqkv + b                      (fused projection)
+    per head: S = Q K^T / sqrt(Dh) + mask ; P = drop(softmax(S)) ; A = P V
+    o  = drop(A @ Wo + bo)
+    x1 = LN1(x + o)
+    h  = drop(act(x1 @ W1 + b1))
+    f  = drop(h @ W2 + b2)
+    out = LN2(x1 + f)
+
+reading ``x`` once from HBM and writing ``out`` once. All four dropout
+sites use the on-core PRNG (`pltpu.prng_seed` / `prng_random_bits`); the
+backward kernel re-seeds identically and regenerates the same masks, so no
+mask is ever materialized in HBM. The backward is a second fused kernel
+that recomputes the forward in VMEM (flash-style: the only residual is
+``x`` itself) and accumulates all 12 weight/bias/LN gradients across the
+sequential grid.
+
+Packed cross-example attention: per-example L x L attention matrices are
+far below the 128x128 MXU tile, so the kernel packs TB examples along both
+score dimensions — S_h = Q_h @ K_h^T over the whole [M=TB*L, Dh] tile — and
+masks the cross-example blocks with a block-diagonal additive mask built
+once by the wrapper. The MXU wastes TB x FLOPs on masked-out blocks, but at
+TB*L ~ 160 the attention matmuls are still a small fraction of the layer
+(the FFN dominates) and every matmul in the kernel now has MXU-worthy
+shapes.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = float(jnp.finfo(jnp.float32).min)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def supports_fused_layer(d_model: int, seq_len: int, n_head: int,
+                         dim_feedforward: int, activation: str) -> bool:
+    if d_model % n_head:
+        return False
+    if activation not in ("gelu", "relu"):
+        return False
+    return d_model <= 256 and dim_feedforward <= 1024 and seq_len <= 256
+
+
+def _tile_examples(L: int) -> int:
+    """Examples per grid cell: M = TB*L in [128, ~512] and M % 8 == 0."""
+    TB = max(1, -(-128 // L))
+    while (TB * L) % 8:
+        TB += 1
+    return TB
+
+
+class _DropRng:
+    """Deterministic dropout-mask stream, regenerated identically by the
+    forward and backward kernels (call order defines the stream). On TPU it
+    is the on-core PRNG (`pltpu.prng_seed`/`prng_random_bits`); in interpret
+    mode (CPU tests) those primitives don't lower, so a threefry stream
+    keyed on the same seed stands in."""
+
+    def __init__(self, seed_scalar):
+        self.interpret = _interpret()
+        if self.interpret:
+            self.key = jax.random.PRNGKey(seed_scalar)
+            self.n = 0
+        else:
+            pltpu.prng_seed(seed_scalar)
+
+    def keep(self, shape, p: float) -> jax.Array:
+        if self.interpret:
+            self.n += 1
+            u = jax.random.uniform(jax.random.fold_in(self.key, self.n), shape)
+        else:
+            bits = pltpu.prng_random_bits(shape)                    # uint32
+            u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))  # [0, 1)
+        return (u >= p).astype(jnp.float32) * (1.0 / (1.0 - p))
+
+
+def _act_fn(name: str):
+    return jax.nn.gelu if name == "gelu" else lambda x: jnp.maximum(x, 0.0)
+
+
+def _act_grad(name: str, pre: jax.Array) -> jax.Array:
+    if name == "relu":
+        return (pre > 0).astype(jnp.float32)
+    # tanh-approximate gelu derivative (matches jax.nn.gelu default)
+    c = 0.7978845608028654  # sqrt(2/pi)
+    a = 0.044715
+    inner = c * (pre + a * pre ** 3)
+    t = jnp.tanh(inner)
+    return 0.5 * (1.0 + t) + 0.5 * pre * (1.0 - t * t) * c * (1.0 + 3.0 * a * pre ** 2)
+
+
+def _ln_fwd(x, scale, bias, eps):
+    mu = x.mean(-1, keepdims=True)
+    xc = x - mu
+    var = (xc * xc).mean(-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = xc * inv
+    return xhat * scale + bias, xhat, inv
+
+
+def _ln_bwd(dy, xhat, inv, scale):
+    """Grad wrt the LN input given upstream dy (per-row normalization)."""
+    dxhat = dy * scale
+    m1 = dxhat.mean(-1, keepdims=True)
+    m2 = (dxhat * xhat).mean(-1, keepdims=True)
+    return inv * (dxhat - m1 - xhat * m2)
+
+
+def _cell_rng(seed_ref, p, training):
+    if not (training and p > 0):
+        return None
+    # distinct stream per grid cell; identical in fwd and bwd
+    return _DropRng(seed_ref[0, 0] + pl.program_id(0) * jnp.int32(-1640531527))
+
+
+def _attention(qkv, mask, padrow, D, H, p, training, rng=None):
+    """Packed per-head attention. Returns (A, per-head residuals)."""
+    Dh = D // H
+    scale = 1.0 / (Dh ** 0.5)
+    heads, resid = [], []
+    for h in range(H):
+        q = qkv[:, h * Dh:(h + 1) * Dh]
+        k = qkv[:, D + h * Dh:D + (h + 1) * Dh]
+        v = qkv[:, 2 * D + h * Dh:2 * D + (h + 1) * Dh]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = jnp.maximum(s + mask + padrow, NEG)
+        m = s.max(-1, keepdims=True)
+        e = jnp.exp(s - m)
+        P = e / e.sum(-1, keepdims=True)
+        keep = rng.keep(P.shape, p) if rng is not None else None
+        Pd = P * keep if keep is not None else P
+        heads.append(jnp.dot(Pd, v, preferred_element_type=jnp.float32))
+        resid.append((q, k, v, P, keep))
+    return jnp.concatenate(heads, axis=-1), resid
+
+
+def _fwd_kernel(seed_ref, x_ref, mask_ref, padrow_ref,
+                wqkv_ref, bqkv_ref, wo_ref, bo_ref, n1s_ref, n1b_ref,
+                w1_ref, b1_ref, w2_ref, b2_ref, n2s_ref, n2b_ref,
+                out_ref, *, H, p, training, act, eps):
+    rng = _cell_rng(seed_ref, p, training)
+    x = x_ref[:].astype(jnp.float32)                       # [M, D]
+    D = x.shape[-1]
+    qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv_ref[:]
+    A, _ = _attention(qkv, mask_ref[:], padrow_ref[0], D, H, p, training, rng)
+    o = jnp.dot(A, wo_ref[:], preferred_element_type=jnp.float32) + bo_ref[:]
+    if training and p > 0:
+        o = o * rng.keep(o.shape, p)
+    x1, _, _ = _ln_fwd(x + o, n1s_ref[:], n1b_ref[:], eps)
+    hpre = jnp.dot(x1, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
+    hact = _act_fn(act)(hpre)
+    if training and p > 0:
+        hact = hact * rng.keep(hact.shape, p)
+    f = jnp.dot(hact, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+    if training and p > 0:
+        f = f * rng.keep(f.shape, p)
+    out, _, _ = _ln_fwd(x1 + f, n2s_ref[:], n2b_ref[:], eps)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _bwd_kernel(seed_ref, x_ref, mask_ref, padrow_ref,
+                wqkv_ref, bqkv_ref, wo_ref, bo_ref, n1s_ref, n1b_ref,
+                w1_ref, b1_ref, w2_ref, b2_ref, n2s_ref, n2b_ref, g_ref,
+                dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref,
+                dn1s_ref, dn1b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                dn2s_ref, dn2b_ref, *, H, p, training, act, eps):
+    rng = _cell_rng(seed_ref, p, training)
+    x = x_ref[:].astype(jnp.float32)
+    D = x.shape[-1]
+    drop = training and p > 0
+
+    # ---- recompute forward (same PRNG stream order as _fwd_kernel) ----
+    qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv_ref[:]
+    A, resid = _attention(qkv, mask_ref[:], padrow_ref[0], D, H, p, training, rng)
+    o_pre = jnp.dot(A, wo_ref[:], preferred_element_type=jnp.float32) + bo_ref[:]
+    keep_o = rng.keep(o_pre.shape, p) if drop else None
+    o = o_pre * keep_o if drop else o_pre
+    x1, xhat1, inv1 = _ln_fwd(x + o, n1s_ref[:], n1b_ref[:], eps)
+    hpre = jnp.dot(x1, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
+    hact = _act_fn(act)(hpre)
+    keep_h = rng.keep(hact.shape, p) if drop else None
+    hd = hact * keep_h if drop else hact
+    f_pre = jnp.dot(hd, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+    keep_f = rng.keep(f_pre.shape, p) if drop else None
+    f = f_pre * keep_f if drop else f_pre
+    _, xhat2, inv2 = _ln_fwd(x1 + f, n2s_ref[:], n2b_ref[:], eps)
+
+    # ---- backward chain ----
+    g = g_ref[:].astype(jnp.float32)
+    dn2s = jnp.sum(g * xhat2, 0, keepdims=True)
+    dn2b = jnp.sum(g, 0, keepdims=True)
+    dr2 = _ln_bwd(g, xhat2, inv2, n2s_ref[:])
+    dx1 = dr2
+    df = dr2 * keep_f if drop else dr2
+    dw2 = jnp.dot(hd.T, df, preferred_element_type=jnp.float32)
+    db2 = jnp.sum(df, 0, keepdims=True)
+    dhd = jnp.dot(df, w2_ref[:].T, preferred_element_type=jnp.float32)
+    dhact = dhd * keep_h if drop else dhd
+    dhpre = dhact * _act_grad(act, hpre)
+    dw1 = jnp.dot(x1.T, dhpre, preferred_element_type=jnp.float32)
+    db1 = jnp.sum(dhpre, 0, keepdims=True)
+    dx1 = dx1 + jnp.dot(dhpre, w1_ref[:].T, preferred_element_type=jnp.float32)
+    dn1s = jnp.sum(dx1 * xhat1, 0, keepdims=True)
+    dn1b = jnp.sum(dx1, 0, keepdims=True)
+    dr1 = _ln_bwd(dx1, xhat1, inv1, n1s_ref[:])
+    do = dr1 * keep_o if drop else dr1
+    dwo = jnp.dot(A.T, do, preferred_element_type=jnp.float32)
+    dbo = jnp.sum(do, 0, keepdims=True)
+    dA = jnp.dot(do, wo_ref[:].T, preferred_element_type=jnp.float32)
+
+    Dh = D // H
+    scale = 1.0 / (Dh ** 0.5)
+    dq_heads, dk_heads, dv_heads = [], [], []
+    for h in range(H):
+        q, k, v, P, keep = resid[h]
+        dAh = dA[:, h * Dh:(h + 1) * Dh]
+        Pd = P * keep if keep is not None else P
+        dv_heads.append(jnp.dot(Pd.T, dAh, preferred_element_type=jnp.float32))
+        dP = jnp.dot(dAh, v.T, preferred_element_type=jnp.float32)
+        if keep is not None:
+            dP = dP * keep
+        dS = P * (dP - jnp.sum(dP * P, -1, keepdims=True))
+        dq_heads.append(jnp.dot(dS, k, preferred_element_type=jnp.float32) * scale)
+        dk_heads.append(jnp.dot(dS.T, q, preferred_element_type=jnp.float32) * scale)
+    dqkv = jnp.concatenate(dq_heads + dk_heads + dv_heads, axis=-1)
+    dwqkv = jnp.dot(x.T, dqkv, preferred_element_type=jnp.float32)
+    dbqkv = jnp.sum(dqkv, 0, keepdims=True)
+    dx = dr1 + jnp.dot(dqkv, wqkv_ref[:].T, preferred_element_type=jnp.float32)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+    # ---- accumulate weight grads across the sequential grid ----
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref, dn1s_ref, dn1b_ref,
+                    dw1_ref, db1_ref, dw2_ref, db2_ref, dn2s_ref, dn2b_ref):
+            ref[:] = jnp.zeros_like(ref)
+
+    for ref, val in ((dwqkv_ref, dwqkv), (dbqkv_ref, dbqkv), (dwo_ref, dwo),
+                     (dbo_ref, dbo), (dn1s_ref, dn1s), (dn1b_ref, dn1b),
+                     (dw1_ref, dw1), (db1_ref, db1), (dw2_ref, dw2),
+                     (db2_ref, db2), (dn2s_ref, dn2s), (dn2b_ref, dn2b)):
+        ref[:] = ref[:] + val
+
+
+def _full_spec(shape):
+    return pl.BlockSpec(shape, lambda c: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_fused_layer(TB: int, L: int, D: int, F: int, H: int, p: float,
+                      training: bool, act: str, eps: float):
+    """Build the custom-VJP fused layer for one static config."""
+    M = TB * L
+
+    def weight_specs():
+        return [_full_spec((D, 3 * D)), _full_spec((1, 3 * D)),
+                _full_spec((D, D)), _full_spec((1, D)),
+                _full_spec((1, D)), _full_spec((1, D)),
+                _full_spec((D, F)), _full_spec((1, F)),
+                _full_spec((F, D)), _full_spec((1, D)),
+                _full_spec((1, D)), _full_spec((1, D))]
+
+    def data_specs():
+        # padrow is [n_cells, 1, M]: Mosaic requires the last two block dims
+        # to be (8,128)-divisible or equal to the array dims, so the grid
+        # dimension must not be one of them
+        return [pl.BlockSpec((1, 1), lambda c: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((M, D), lambda c: (c, 0), memory_space=pltpu.VMEM),
+                _full_spec((M, M)),
+                pl.BlockSpec((1, 1, M), lambda c: (c, 0, 0),
+                             memory_space=pltpu.VMEM)]
+
+    kern_kw = dict(H=H, p=p, training=training, act=act, eps=eps)
+
+    def fwd(seed, x, mask, padrow, *w):
+        n_cells = x.shape[0] // M
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, **kern_kw),
+            grid=(n_cells,),
+            in_specs=data_specs() + weight_specs(),
+            out_specs=pl.BlockSpec((M, D), lambda c: (c, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+            interpret=_interpret(),
+        )(seed, x, mask, padrow, *w)
+
+    def bwd_call(seed, x, mask, padrow, w, g):
+        n_cells = x.shape[0] // M
+        w_shapes = [(D, 3 * D), (1, 3 * D), (D, D), (1, D), (1, D), (1, D),
+                    (D, F), (1, F), (F, D), (1, D), (1, D), (1, D)]
+        out_shapes = [jax.ShapeDtypeStruct(x.shape, x.dtype)] + \
+            [jax.ShapeDtypeStruct(s, jnp.float32) for s in w_shapes]
+        out_specs = [pl.BlockSpec((M, D), lambda c: (c, 0),
+                                  memory_space=pltpu.VMEM)] + \
+            [_full_spec(s) for s in w_shapes]
+        return pl.pallas_call(
+            functools.partial(_bwd_kernel, **kern_kw),
+            grid=(n_cells,),
+            in_specs=data_specs() + weight_specs() + [
+                pl.BlockSpec((M, D), lambda c: (c, 0),
+                             memory_space=pltpu.VMEM)],
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=_interpret(),
+        )(seed, x, mask, padrow, *w, g)
+
+    @jax.custom_vjp
+    def layer(seed, x, mask, padrow, *w):
+        return fwd(seed, x, mask, padrow, *w)
+
+    def layer_fwd(seed, x, mask, padrow, *w):
+        return fwd(seed, x, mask, padrow, *w), (seed, x, mask, padrow, w)
+
+    def layer_bwd(res, g):
+        seed, x, mask, padrow, w = res
+        outs = bwd_call(seed, x, mask, padrow, w, g)
+        dx, dw = outs[0], outs[1:]
+        return (None, dx, None, None,
+                *[d.astype(jnp.asarray(wi).dtype) for d, wi in zip(dw, w)])
+
+    layer.defvjp(layer_fwd, layer_bwd)
+    return layer
+
+
+def fused_transformer_layer(
+        x: jax.Array,                       # [B, L, D]
+        params: dict,                       # flat param dict (see TransformerLayer)
+        key_padding_mask: Optional[jax.Array],  # bool [B, L], True = pad
+        attn_mask: Optional[jax.Array],     # bool [L, L], True = disallow
+        n_head: int, dropout: float, activation: str, layer_norm_eps: float,
+        training: bool, seed: jax.Array) -> jax.Array:
+    """Apply the fused layer to a [B, L, D] batch (pads B to the tile)."""
+    B, L, D = x.shape
+    F = params["ffn1_kernel"].shape[-1]
+    TB = _tile_examples(L)
+    M = TB * L
+    Bp = -(-B // TB) * TB
+    n_cells = Bp // TB
+
+    xf = x.reshape(B * L, D)
+    if Bp != B:
+        xf = jnp.pad(xf, ((0, (Bp - B) * L), (0, 0)))
+
+    # block-diagonal (cross-example) + user attention mask, [M, M] additive
+    ex = jnp.arange(M) // L
+    same = ex[:, None] == ex[None, :]
+    if attn_mask is not None:
+        tiled = jnp.tile(jnp.where(attn_mask, NEG, 0.0).astype(jnp.float32),
+                         (TB, TB))
+    else:
+        tiled = jnp.zeros((M, M), jnp.float32)
+    mask = jnp.where(same, tiled, NEG)
+
+    # per-cell key-padding additive row [n_cells, M]
+    if key_padding_mask is not None:
+        pad = jnp.where(key_padding_mask, NEG, 0.0).astype(jnp.float32)
+        if Bp != B:
+            pad = jnp.pad(pad, ((0, Bp - B), (0, 0)))
+        padrow = pad.reshape(n_cells, 1, M)
+    else:
+        padrow = jnp.zeros((n_cells, 1, M), jnp.float32)
+
+    w = (params["qkv_kernel"], params["qkv_bias"].reshape(1, -1),
+         params["out_kernel"], params["out_bias"].reshape(1, -1),
+         params["norm1_scale"].reshape(1, -1), params["norm1_bias"].reshape(1, -1),
+         params["ffn1_kernel"], params["ffn1_bias"].reshape(1, -1),
+         params["ffn2_kernel"], params["ffn2_bias"].reshape(1, -1),
+         params["norm2_scale"].reshape(1, -1), params["norm2_bias"].reshape(1, -1))
+
+    layer = _make_fused_layer(TB, L, D, F, n_head, float(dropout),
+                              bool(training), activation, float(layer_norm_eps))
+    seed2d = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    out = layer(seed2d, xf, mask, padrow, *w)
+    return out[:B * L].reshape(B, L, D)

@@ -39,23 +39,75 @@ def load_reference_checkpoint(path: str) -> Dict[str, Any]:
     return payload
 
 
+# our fused TransformerLayer leaves -> torch nn.TransformerEncoderLayer
+# tensors (torch fuses q/k/v exactly like our qkv_kernel: in_proj_weight)
+_TRANSFORMER_LEAVES = {
+    "qkv_kernel": ("self_attn.in_proj_weight", True),
+    "qkv_bias": ("self_attn.in_proj_bias", False),
+    "out_kernel": ("self_attn.out_proj.weight", True),
+    "out_bias": ("self_attn.out_proj.bias", False),
+    "norm1_scale": ("norm1.weight", False),
+    "norm1_bias": ("norm1.bias", False),
+    "ffn1_kernel": ("linear1.weight", True),
+    "ffn1_bias": ("linear1.bias", False),
+    "ffn2_kernel": ("linear2.weight", True),
+    "ffn2_bias": ("linear2.bias", False),
+    "norm2_scale": ("norm2.weight", False),
+    "norm2_bias": ("norm2.bias", False),
+}
+
+
+def _prefix_variants(prefix: List[str]) -> List[str]:
+    """Dotted torch prefixes that could correspond to our module path.
+
+    Handles the transformer container renames: our ``transformer/layer_N``
+    vs torch ``transformer_layer.layers.N`` (reference seq/sasrec.py wraps
+    torch nn.TransformerEncoder as ``transformer_layer``).
+    """
+    variants = [prefix]
+    mapped = []
+    for comp in prefix:
+        if comp == "transformer":
+            mapped.extend(["transformer_layer", "layers"])
+        elif comp.startswith("layer_") and comp[6:].isdigit():
+            mapped.append(comp[6:])
+        else:
+            mapped.append(comp)
+    if mapped != prefix:
+        variants.append(mapped)
+        # some reference encoders name the container just "transformer"
+        alt = [c for c in mapped]
+        if alt and alt[0:1] != ["transformer_layer"]:
+            pass
+        variants.append(["transformer" if c == "transformer_layer" else c
+                         for c in mapped])
+    return [".".join(v) for v in variants]
+
+
 def _candidates(path: Tuple[str, ...]) -> List[Tuple[str, bool]]:
     """Torch state_dict keys that could hold this flax leaf.
 
     Returns ``[(torch_key, transpose), ...]`` in preference order.
     """
     *prefix, leaf = path
-    base = ".".join(prefix)
-    dot = (base + ".") if base else ""
-    if leaf == "embedding":
-        return [(dot + "weight", False), (base, False)]
-    if leaf == "kernel":
-        return [(dot + "weight", True)]
-    if leaf == "scale":   # flax LayerNorm/BatchNorm scale <- torch weight
-        return [(dot + "weight", False)]
-    if leaf == "bias":
-        return [(dot + "bias", False)]
-    return [(dot + leaf, False), (base + "." + leaf if base else leaf, False)]
+    out: List[Tuple[str, bool]] = []
+    for base in _prefix_variants(list(prefix)):
+        dot = (base + ".") if base else ""
+        if leaf == "embedding":
+            out += [(dot + "weight", False), (base, False)]
+        elif leaf == "kernel":
+            out += [(dot + "weight", True)]
+        elif leaf == "scale":   # flax LayerNorm/BatchNorm scale <- torch weight
+            out += [(dot + "weight", False)]
+        elif leaf == "bias":
+            out += [(dot + "bias", False)]
+        elif leaf in _TRANSFORMER_LEAVES:
+            torch_leaf, transpose = _TRANSFORMER_LEAVES[leaf]
+            out += [(dot + torch_leaf, transpose)]
+        else:
+            out += [(dot + leaf, False),
+                    (base + "." + leaf if base else leaf, False)]
+    return out
 
 
 def import_state_dict(params, state_dict: Dict[str, np.ndarray],

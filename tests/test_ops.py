@@ -215,3 +215,155 @@ def test_flash_attention_grads():
     for x, y in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# fused transformer layer (ops/transformer_layer.py)
+# ---------------------------------------------------------------------------
+def _ftl_setup(B=5, L=20, D=64, H=2, F=128, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+    params = {
+        "qkv_kernel": jnp.asarray(rng.normal(size=(D, 3 * D)) * 0.1, jnp.float32),
+        "qkv_bias": jnp.asarray(rng.normal(size=(3 * D,)) * 0.1, jnp.float32),
+        "out_kernel": jnp.asarray(rng.normal(size=(D, D)) * 0.1, jnp.float32),
+        "out_bias": jnp.zeros((D,), jnp.float32),
+        "norm1_scale": jnp.ones((D,)), "norm1_bias": jnp.zeros((D,)),
+        "ffn1_kernel": jnp.asarray(rng.normal(size=(D, F)) * 0.1, jnp.float32),
+        "ffn1_bias": jnp.zeros((F,), jnp.float32),
+        "ffn2_kernel": jnp.asarray(rng.normal(size=(F, D)) * 0.1, jnp.float32),
+        "ffn2_bias": jnp.zeros((D,), jnp.float32),
+        "norm2_scale": jnp.ones((D,)), "norm2_bias": jnp.zeros((D,)),
+    }
+    # pad keys randomly but keep position 0 unpadded: a causal row with ALL
+    # keys masked has no defined output (both implementations emit garbage
+    # there by design — the engine's pooling/loss never reads such rows)
+    pad = np.asarray(rng.random((B, L)) < 0.2)
+    pad[:, 0] = False
+    causal = jnp.triu(jnp.ones((L, L), bool), 1)
+    return x, params, jnp.asarray(pad), causal, (B, L, D, H, F)
+
+
+def _ftl_ref(x, params, pad, causal, H, eps=1e-6):
+    """Reference post-LN layer (the TransformerLayer XLA path semantics)."""
+    B, L, D = x.shape
+    Dh = D // H
+    qkv = x @ params["qkv_kernel"] + params["qkv_bias"]
+    q, k, v = jnp.split(qkv, 3, -1)
+    heads = lambda t: t.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
+    q, k, v = heads(q), heads(k), heads(v)
+    s = (q @ k.transpose(0, 1, 3, 2)) / (Dh ** 0.5)
+    neg = jnp.finfo(jnp.float32).min
+    if causal is not None:
+        s = s + jnp.where(causal, neg, 0.0)[None, None]
+    if pad is not None:
+        s = s + jnp.where(pad, neg, 0.0)[:, None, None, :]
+    s = jnp.maximum(s, neg)
+    P = jax.nn.softmax(s, -1)
+    A = (P @ v).transpose(0, 2, 1, 3).reshape(B, L, D)
+    o = A @ params["out_kernel"] + params["out_bias"]
+
+    def ln(t, sc, b):
+        mu = t.mean(-1, keepdims=True)
+        xc = t - mu
+        var = (xc * xc).mean(-1, keepdims=True)
+        return xc * jax.lax.rsqrt(var + eps) * sc + b
+
+    x1 = ln(x + o, params["norm1_scale"], params["norm1_bias"])
+    h = jax.nn.gelu(x1 @ params["ffn1_kernel"] + params["ffn1_bias"])
+    f = h @ params["ffn2_kernel"] + params["ffn2_bias"]
+    return ln(x1 + f, params["norm2_scale"], params["norm2_bias"])
+
+
+def test_fused_transformer_layer_forward_parity():
+    from recstudio_tpu.ops.transformer_layer import fused_transformer_layer
+    with jax.default_matmul_precision("float32"):
+        x, params, pad, causal, (B, L, D, H, F) = _ftl_setup()
+        want = _ftl_ref(x, params, pad, causal, H)
+        got = fused_transformer_layer(x, params, pad, causal, H, 0.0, "gelu",
+                                      1e-6, True, jnp.int32(7))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-3, atol=5e-4)
+        # eval mode with a nonzero dropout rate must equal the p=0 forward
+        got_eval = fused_transformer_layer(x, params, pad, causal, H, 0.5,
+                                           "gelu", 1e-6, False, jnp.int32(7))
+        np.testing.assert_allclose(np.asarray(got_eval), np.asarray(want),
+                                   rtol=1e-3, atol=5e-4)
+
+
+def test_fused_transformer_layer_bidirectional_and_oddbatch():
+    from recstudio_tpu.ops.transformer_layer import fused_transformer_layer
+    with jax.default_matmul_precision("float32"):
+        # B=3 exercises the pad-to-tile path; no causal mask (BERT4Rec mode)
+        x, params, pad, _, (B, L, D, H, F) = _ftl_setup(B=3, L=12, D=32, H=4,
+                                                        F=64, seed=1)
+        want = _ftl_ref(x, params, pad, None, H)
+        got = fused_transformer_layer(x, params, pad, None, H, 0.0, "gelu",
+                                      1e-6, False, jnp.int32(0))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-3, atol=5e-4)
+
+
+def test_fused_transformer_layer_grads():
+    from recstudio_tpu.ops.transformer_layer import fused_transformer_layer
+    with jax.default_matmul_precision("float32"):
+        x, params, pad, causal, (B, L, D, H, F) = _ftl_setup()
+        w = jnp.cos(jnp.arange(B * L * D, dtype=jnp.float32)).reshape(B, L, D)
+
+        def loss_fused(x, params):
+            o = fused_transformer_layer(x, params, pad, causal, H, 0.0,
+                                        "gelu", 1e-6, True, jnp.int32(7))
+            return (o * w).sum()
+
+        def loss_ref(x, params):
+            return (_ftl_ref(x, params, pad, causal, H) * w).sum()
+
+        gx_f, gp_f = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+        gx_r, gp_r = jax.grad(loss_ref, argnums=(0, 1))(x, params)
+        np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                                   rtol=5e-3, atol=5e-3)
+        for k in params:
+            np.testing.assert_allclose(
+                np.asarray(gp_f[k]), np.asarray(gp_r[k]), rtol=5e-3,
+                atol=5e-3 * max(1.0, float(jnp.abs(gp_r[k]).max())),
+                err_msg=k)
+
+
+def test_fused_transformer_layer_dropout():
+    from recstudio_tpu.ops.transformer_layer import fused_transformer_layer
+    with jax.default_matmul_precision("float32"):
+        x, params, pad, causal, (B, L, D, H, F) = _ftl_setup(B=3, L=8, D=16,
+                                                             H=2, F=32, seed=2)
+        args = (x, params, pad, causal, H, 0.5, "gelu", 1e-6)
+        o1 = fused_transformer_layer(*args, True, jnp.int32(123))
+        o2 = fused_transformer_layer(*args, True, jnp.int32(123))
+        # deterministic per seed (same stream in fwd and bwd)
+        assert float(jnp.abs(o1 - o2).max()) == 0.0
+        # dropout actually perturbs the output vs eval mode
+        o_eval = fused_transformer_layer(*args, False, jnp.int32(123))
+        assert float(jnp.abs(o1 - o_eval).max()) > 1e-3
+        # different seed -> different masks (threefry stream on CPU; the
+        # hardware PRNG path is exercised by the TPU smoke script)
+        o3 = fused_transformer_layer(*args, True, jnp.int32(124))
+        assert float(jnp.abs(o1 - o3).max()) > 0.0
+        g = jax.grad(lambda xx: fused_transformer_layer(
+            xx, params, pad, causal, H, 0.5, "gelu", 1e-6, True,
+            jnp.int32(3)).sum())(x)
+        assert np.isfinite(np.asarray(g)).all()
+
+
+def test_transformer_layer_module_xla_path_matches_ref():
+    """The restructured TransformerLayer (owned params, fused-qkv) must
+    reproduce the reference math through its XLA path (CPU default)."""
+    from recstudio_tpu.models.module.layers import TransformerLayer
+    with jax.default_matmul_precision("float32"):
+        x, params, pad, causal, (B, L, D, H, F) = _ftl_setup()
+        layer = TransformerLayer(d_model=D, n_head=H, dim_feedforward=F,
+                                 dropout=0.0, activation="gelu",
+                                 layer_norm_eps=1e-6)
+        variables = {"params": params}
+        got = layer.apply(variables, x, key_padding_mask=pad, attn_mask=causal,
+                          training=False)
+        want = _ftl_ref(x, params, pad, causal, H)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-3, atol=5e-4)
