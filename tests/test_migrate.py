@@ -89,3 +89,38 @@ def test_shape_mismatch_skipped():
     assert report["matched"] == [] and report["skipped"] == ["emb/embedding"]
     with pytest.raises(ValueError):
         import_state_dict(params, sd, strict=True)
+
+
+def test_transformer_encoder_import_matches_torch():
+    """Import a torch nn.TransformerEncoder state_dict (the reference
+    SASRec's ``transformer_layer``, reference seq/sasrec.py:40-47) into our
+    TransformerEncoder and check output parity on the same input."""
+    import jax
+    import jax.numpy as jnp
+    import torch.nn as tnn
+    from recstudio_tpu.models.module.layers import TransformerEncoder
+
+    D, H, F, L, B = 16, 2, 32, 6, 3
+    t_layer = tnn.TransformerEncoderLayer(
+        D, H, dim_feedforward=F, dropout=0.0, activation="relu",
+        layer_norm_eps=1e-5, batch_first=True)
+    t_enc = tnn.TransformerEncoder(t_layer, num_layers=2)
+    host = tnn.Module()
+    host.transformer_layer = t_enc  # the reference attribute name
+    sd = {k: v.detach().numpy() for k, v in host.state_dict().items()}
+
+    flax_enc = TransformerEncoder(num_layers=2, d_model=D, n_head=H,
+                                  dim_feedforward=F, dropout=0.0,
+                                  activation="relu", layer_norm_eps=1e-5)
+    x = np.random.default_rng(0).normal(size=(B, L, D)).astype(np.float32)
+    params = flax_enc.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    new, report = import_state_dict({"transformer": params}, sd, strict=True)
+    assert report["skipped"] == []
+    assert report["unused_torch_keys"] == []
+
+    out_flax = flax_enc.apply({"params": new["transformer"]}, jnp.asarray(x))
+    t_enc.eval()
+    with torch.no_grad():
+        out_torch = t_enc(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(np.asarray(out_flax), out_torch,
+                               rtol=1e-4, atol=1e-4)
