@@ -135,6 +135,7 @@ class BaseRetriever(Recommender):
 
     def _init_model(self, train_data, drop_unused_field: bool = True):
         super()._init_model(train_data, drop_unused_field)
+        self.__dict__.pop("_sparse_rows_flag", None)  # re-gate on refit
         self.num_items = train_data.num_items
         self.num_users = train_data.num_users
         if self.item_encoder is None:
@@ -584,6 +585,108 @@ class BaseRetriever(Recommender):
         return (type(self.loss_fn) is SoftmaxLoss and self.sampler is None
                 and type(self.score_func) is InnerProductScorer
                 and (flag == "true" or jax.default_backend() == "tpu"))
+
+    # ------------------------------------------------------------------
+    # row-sparse embedding engine: for pure-embedding two-tower models
+    # (the BPR class — exactly the regime where catalogs reach 10M+ rows)
+    # the dense grad/update path costs 5 full [N, D] HBM round-trips per
+    # step (gather cotangent + Adam moments + params). When eligible, the
+    # step below differentiates w.r.t. the GATHERED rows and applies
+    # row_lazy_adam (models/optim.py) so per-step traffic is O(batch*D).
+    # Semantics are identical to learner=sparse_adam's dense lazy_adam —
+    # gated to that learner so this is purely an execution strategy.
+    # ------------------------------------------------------------------
+    def _sparse_rows_enabled(self) -> bool:
+        if hasattr(self, "_sparse_rows_flag"):
+            return self._sparse_rows_flag
+        from ...ann.sampler import PopularSamplerModel
+        from ..loss_func import PairwiseLoss
+        tc = self.config["train"]
+        ok = (
+            str(tc.get("sparse_rows", "auto")).lower() != "false"
+            and str(tc.get("learner", "adam")).lower() == "sparse_adam"
+            and not tc.get("weight_decay")
+            and not tc.get("grad_clip_norm")
+            and not tc.get("scheduler")
+            and str(tc.get("sampling_method", "none")) == "none"
+            and not self._mixed_precision()
+            and isinstance(self.loss_fn, PairwiseLoss)
+            and isinstance(self.sampler, (UniformSampler, MaskedUniformSampler,
+                                          PopularSamplerModel))
+            and type(self.net) is TwoTowerNet
+            and type(self.item_encoder) is Embedding
+            and type(self.query_encoder) is Embedding
+            and not isinstance(self.score_func, nn.Module)
+            and not self.states.get("net")
+            and len(self.item_fields) == 1
+            and self.query_fields == {self.fuid}
+            and (getattr(self, "_mesh", None) is None
+                 or self._mesh.shape.get("mp", 1) == 1)
+            and len(getattr(self, "optimizers", [None])) == 1
+        )
+        if ok and self.params is not None:
+            paths = {tuple(str(getattr(k, "key", k)) for k in kp)
+                     for kp, _ in jax.tree_util.tree_flatten_with_path(self.params)[0]}
+            ok = paths == {("item_encoder", "embedding"),
+                           ("query_encoder", "embedding")}
+        self._sparse_rows_flag = bool(ok)
+        if ok:
+            self.logger.info("row-sparse embedding updates engaged "
+                             "(O(batch) optimizer traffic per step)")
+        return self._sparse_rows_flag
+
+    def _grad_step(self, optimizer, params, opt_state, batch, rng, states):
+        if self._sparse_rows_enabled() and batch[self.fiid].ndim == 1:
+            return self._sparse_grad_step(params, opt_state, batch, rng, states)
+        return super()._grad_step(optimizer, params, opt_state, batch, rng,
+                                  states)
+
+    def _sparse_grad_step(self, params, opt_state, batch, rng, states):
+        from ..optim import LazyAdamState, row_lazy_adam
+        lr = float(self.config["train"].get("learning_rate", 1e-3))
+        Wq = params["query_encoder"]["embedding"]
+        Wi = params["item_encoder"]["embedding"]
+        uid = batch[self.fuid]
+        iid = batch[self.fiid]
+        rng_q, rng_s = jax.random.split(rng)   # forward()'s stream split
+        q_rows = jnp.take(Wq, uid, axis=0)
+        log_pos_prob, neg_ids, log_neg_prob = self.sampling(
+            params, batch, rng_s, states, self.neg_count,
+            excluding_hist=self.config["train"].get("excluding_hist", False),
+            method="none", query=jax.lax.stop_gradient(q_rows))
+        label = batch[self.frating]
+
+        def loss_from_rows(q, pos, neg):
+            return self.loss_fn(
+                label=label, pos_score=self.score_func(q, pos),
+                log_pos_prob=log_pos_prob,
+                neg_score=self.score_func(q, neg),
+                log_neg_prob=log_neg_prob)
+
+        pos_rows = jnp.take(Wi, iid, axis=0)
+        neg_rows = jnp.take(Wi, neg_ids, axis=0)
+        loss, (dq, dpos, dneg) = jax.value_and_grad(
+            loss_from_rows, argnums=(0, 1, 2))(q_rows, pos_rows, neg_rows)
+
+        (inner,) = opt_state
+        count = inner.count + 1
+        Wq2, mu_q, nu_q = row_lazy_adam(
+            Wq, inner.mu["query_encoder"]["embedding"],
+            inner.nu["query_encoder"]["embedding"], uid, dq, count, lr)
+        item_ids = jnp.concatenate([iid, neg_ids.reshape(-1)])
+        item_g = jnp.concatenate([dpos, dneg.reshape(-1, dneg.shape[-1])])
+        Wi2, mu_i, nu_i = row_lazy_adam(
+            Wi, inner.mu["item_encoder"]["embedding"],
+            inner.nu["item_encoder"]["embedding"], item_ids, item_g, count, lr)
+        params = {"item_encoder": {"embedding": Wi2},
+                  "query_encoder": {"embedding": Wq2}}
+        new_state = (LazyAdamState(
+            count=count,
+            mu={"item_encoder": {"embedding": mu_i},
+                "query_encoder": {"embedding": mu_q}},
+            nu={"item_encoder": {"embedding": nu_i},
+                "query_encoder": {"embedding": nu_q}}),)
+        return params, new_state, loss
 
     def training_step(self, params, batch, rng, states):
         if self._use_fused_softmax():

@@ -1,0 +1,131 @@
+"""Row-sparse embedding engine (BaseRetriever._sparse_grad_step +
+optim.row_lazy_adam): identical single-step semantics to the dense
+lazy_adam path, O(batch) optimizer traffic. The dense path is the
+reference semantics (torch SparseAdam, reference learner: sparse_adam).
+
+Note: strict elementwise parity is only asserted on ONE step — over many
+Adam steps the two executables' different summation orders (segment-sum
+vs dense scatter-add) amplify fp rounding through sqrt(nu)+eps, so the
+end-to-end check uses trajectory-level tolerances.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recstudio_tpu.models.basemodel.recommender import batch_to_device
+from recstudio_tpu.models.optim import lazy_adam, row_lazy_adam
+from recstudio_tpu.utils import get_model, seed_everything
+
+
+def test_row_lazy_adam_matches_dense():
+    """Random ids with duplicates, a PAD id, and an exact-zero-grad row must
+    reproduce dense lazy_adam's update to fp precision."""
+    rng = np.random.default_rng(0)
+    N, D, K = 50, 8, 16
+    table = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+    mu = jnp.asarray(rng.normal(size=(N, D)) * 0.1, jnp.float32)
+    nu = jnp.asarray(rng.random((N, D)) * 0.01, jnp.float32)
+    ids = jnp.asarray(rng.integers(0, N, size=K), jnp.int32)  # 0 = PAD
+    ids = ids.at[3].set(ids[7])   # force duplicates
+    g = jnp.asarray(rng.normal(size=(K, D)), jnp.float32)
+    g = g.at[5].set(0.0)
+    count = jnp.asarray(4, jnp.int32)
+
+    # dense reference: scatter-add rows into a [N, D] cotangent, zero PAD,
+    # then lazy_adam's update formula
+    gd = jnp.zeros((N, D)).at[ids].add(g).at[0].set(0.0)
+    opt = lazy_adam(1e-2)
+    state = opt.init(table)._replace(count=count - 1, mu=mu, nu=nu)
+    upd, new_state = opt.update(gd, state)
+    want = table + upd
+
+    t2, mu2, nu2 = row_lazy_adam(table, mu, nu, ids, g, count, 1e-2)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(want),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(mu2), np.asarray(new_state.mu),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(nu2), np.asarray(new_state.nu),
+                               rtol=1e-5, atol=1e-7)
+
+
+def _build_bpr(ml100k_splits, sparse_rows, sampler="uniform", epochs=0):
+    trn, val, tst = ml100k_splits
+    cls, conf = get_model("BPR")
+    conf["train"].update(epochs=epochs, batch_size=512, learner="sparse_adam",
+                         sampler=sampler, sparse_rows=sparse_rows,
+                         epoch_scan="true")
+    conf["eval"].update(batch_size=128, cutoff=[5], val_metrics=["ndcg"],
+                        test_metrics=["ndcg", "recall"], topk=20)
+    seed_everything(7)
+    m = cls(conf)
+    m.fit(trn, None, run_mode="light")
+    return m, trn
+
+
+@pytest.mark.parametrize("sampler", ["uniform", "pop"])
+def test_sparse_step_matches_dense_single_step(ml100k_splits, sampler):
+    """One _grad_step from identical (params, opt_state, batch, rng) must
+    agree between the two execution strategies to fp precision."""
+    m, trn = _build_bpr(ml100k_splits, "auto", sampler)
+    assert m._sparse_rows_enabled(), "sparse path did not engage"
+    batch = batch_to_device(next(iter(trn.train_loader(batch_size=512,
+                                                       shuffle=False))))
+    opt = m.optimizers[0]["optimizer"]
+    state0 = m.opt_states[0]
+    states = {"sampler": m.sampler.update(jax.random.PRNGKey(0), None)
+              if sampler == "pop" else ()}
+    rng = jax.random.PRNGKey(3)
+
+    m._sparse_rows_flag = True
+    p_s, s_s, l_s = m._grad_step(opt, m.params, state0, batch, rng, states)
+    m._sparse_rows_flag = False
+    p_d, s_d, l_d = m._grad_step(opt, m.params, state0, batch, rng, states)
+
+    np.testing.assert_allclose(float(l_s), float(l_d), rtol=1e-6)
+    for p in ("item_encoder", "query_encoder"):
+        np.testing.assert_allclose(
+            np.asarray(p_s[p]["embedding"]), np.asarray(p_d[p]["embedding"]),
+            rtol=1e-5, atol=1e-7, err_msg=p)
+        np.testing.assert_allclose(
+            np.asarray(s_s[0].nu[p]["embedding"]),
+            np.asarray(s_d[0].nu[p]["embedding"]),
+            rtol=1e-5, atol=1e-8, err_msg=p)
+    assert int(s_s[0].count) == int(s_d[0].count) == 1
+
+
+@pytest.mark.slow
+def test_sparse_training_end_to_end(ml100k_splits):
+    """Multi-epoch: both strategies train to equivalent quality (trajectory-
+    level comparison; see module docstring for why not elementwise)."""
+    trn, val, tst = ml100k_splits
+    m_s, _ = _build_bpr(ml100k_splits, "auto", epochs=3)
+    m_d, _ = _build_bpr(ml100k_splits, "false", epochs=3)
+    assert m_s._sparse_rows_flag and not m_d._sparse_rows_flag
+    for p in ("item_encoder", "query_encoder"):
+        a = np.asarray(m_s.params[p]["embedding"])
+        b = np.asarray(m_d.params[p]["embedding"])
+        np.testing.assert_allclose(a, b, atol=5e-3, err_msg=p)
+    r_s = m_s.evaluate(tst, verbose=False)
+    r_d = m_d.evaluate(tst, verbose=False)
+    assert abs(r_s["ndcg@5"] - r_d["ndcg@5"]) < 0.01, (r_s, r_d)
+
+
+def test_sparse_gate_rejects_ineligible(ml100k_splits):
+    m, _ = _build_bpr(ml100k_splits, "auto")
+    # flip configs that break lazy-adam equivalence: each must disengage
+    for key, val in (("learner", "adam"), ("weight_decay", 0.01),
+                     ("scheduler", "exponential"), ("sampler", "midx-uni"),
+                     ("sampling_method", "dns"), ("sparse_rows", "false")):
+        m.__dict__.pop("_sparse_rows_flag", None)
+        old = m.config["train"].get(key)
+        m.config["train"][key] = val
+        if key == "sampler":
+            from recstudio_tpu.ann.sampler import MIDXSamplerUniform
+            old_sampler, m.sampler = m.sampler, MIDXSamplerUniform(100, 4)
+        assert not m._sparse_rows_enabled(), key
+        m.config["train"][key] = old
+        if key == "sampler":
+            m.sampler = old_sampler
+    m.__dict__.pop("_sparse_rows_flag", None)
+    assert m._sparse_rows_enabled()
