@@ -36,7 +36,7 @@ import optax
 
 from ... import eval as eval_mod
 from ...utils import (color_dict_normal, deep_update, get_base_model_config,
-                      get_logger, seed_everything)
+                      get_logger, root_key, seed_everything)
 from ...utils.callbacks import EarlyStopping, SaveLastCallback
 from ..init import init_parameters, zero_pad_rows_in_grads
 
@@ -50,7 +50,8 @@ class Recommender:
         self.config = config if config is not None else get_base_model_config()
         if self.config["train"].get("seed") is not None:
             seed_everything(self.config["train"]["seed"])
-        self._rng = jax.random.PRNGKey(self.config["train"].get("seed") or 0)
+        self._rng = root_key(self.config["train"].get("seed") or 0,
+                             self.config["train"].get("rng_impl", "threefry"))
         self._rng_counter = 0
         self.embed_dim = self.config["model"]["embed_dim"]
         self.logger = get_logger()

@@ -20,5 +20,15 @@ def seed_everything(seed: int = 2022, workers: bool = False) -> int:
     return seed
 
 
-def root_key(seed: int) -> jax.Array:
-    return jax.random.PRNGKey(seed)
+_RNG_IMPLS = {"threefry": "threefry2x32", "rbg": "rbg", "unsafe_rbg": "unsafe_rbg"}
+
+
+def root_key(seed: int, impl: str = "threefry") -> jax.Array:
+    """Root PRNG key with a selectable implementation (train.rng_impl).
+
+    `rbg` lowers to the TPU hardware generator and is faster than the
+    default threefry for dropout/sampling-heavy jitted steps. Returns a
+    typed key (jax.random.key) so split/fold_in inherit the implementation;
+    raw `PRNGKey` arrays would silently rewrap with the process default.
+    """
+    return jax.random.key(seed, impl=_RNG_IMPLS.get(impl, impl))
