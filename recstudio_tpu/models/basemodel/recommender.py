@@ -674,6 +674,7 @@ class Recommender:
         self.callback.best_value = best_value
         self.callback.best_epoch = best_epoch
         self.ckpt_path = self.callback.save_checkpoint(best_epoch)
+        self.finalize_checkpoints()
         self.logger.info(f"best checkpoint saved at {self.ckpt_path}")
 
     # ------------------------------------------------------------------
@@ -863,6 +864,7 @@ class Recommender:
         for ep, metrics, tt, te in deferred:  # flush device scalars post-fit
             self.log_dict(ep, metrics, tt, te)
         self.ckpt_path = self.callback.save_checkpoint(nepoch)
+        self.finalize_checkpoints()
         self.logger.info(f"best checkpoint saved at {self.ckpt_path}")
 
     def training_epoch(self, nepoch: int):
@@ -1079,7 +1081,18 @@ class Recommender:
     def save_checkpoint(self, path: str, epoch: int = -1, metric: Dict = None):
         """Full-fidelity checkpoint: params + states + optimizer states +
         RNG counter + epoch, so training resumes exactly (the reference only
-        persists model weights, reference callbacks.py:67-73)."""
+        persists model weights, reference callbacks.py:67-73).
+
+        ``train.ckpt_backend: orbax`` switches to an orbax directory
+        checkpoint: sharded arrays are written per-shard with sharding
+        metadata (each host persists only its rows of a row-sharded table)
+        and the save is ASYNC — training resumes while tensorstore flushes
+        in the background. The default ``pickle`` backend materializes the
+        whole tree on one host, which is the right (simpler) answer
+        single-chip but a scaling wall under mp meshes.
+        """
+        if self.config["train"].get("ckpt_backend", "pickle") == "orbax":
+            return self._save_checkpoint_orbax(path, epoch, metric)
         from flax.serialization import to_bytes
         payload = {
             "config": self.config,
@@ -1096,7 +1109,71 @@ class Recommender:
         with open(path, "wb") as f:
             pickle.dump(payload, f)
 
+    # -- orbax backend ---------------------------------------------------
+    def _orbax_checkpointer(self):
+        import orbax.checkpoint as ocp
+        if getattr(self, "_ocp_ckptr", None) is None:
+            self._ocp_ckptr = ocp.AsyncCheckpointer(
+                ocp.CompositeCheckpointHandler())
+        return self._ocp_ckptr
+
+    def _orbax_tree(self):
+        """The array pytree an orbax checkpoint carries (meta goes to JSON)."""
+        tree = {"params": self.params}
+        if self.states:
+            tree["states"] = self.states
+        if self.opt_states:
+            tree["opt_states"] = {str(i): s for i, s in
+                                  enumerate(self.opt_states) if s is not None}
+        return tree
+
+    def _save_checkpoint_orbax(self, path: str, epoch: int, metric: Dict):
+        import orbax.checkpoint as ocp
+        ckptr = self._orbax_checkpointer()
+        ckptr.wait_until_finished()          # at most one in-flight save
+        meta = {"config": self.config, "model": type(self).__name__,
+                "epoch": int(epoch), "metric": metric or {},
+                "rng_counter": int(self._rng_counter)}
+        ckptr.save(os.path.abspath(path),
+                   args=ocp.args.Composite(
+                       state=ocp.args.PyTreeSave(self._orbax_tree()),
+                       meta=ocp.args.JsonSave(meta)),
+                   force=True)
+
+    def _load_checkpoint_orbax(self, path: str, restore_optimizer: bool):
+        import orbax.checkpoint as ocp
+        ckptr = self._orbax_checkpointer()
+        ckptr.wait_until_finished()
+        template = self._orbax_tree()
+        # partial: an inference-side model (no optimizer) restores only the
+        # subtree it carries; restore_args keep each leaf's dtype + sharding
+        restored = ckptr.restore(
+            os.path.abspath(path),
+            args=ocp.args.Composite(
+                state=ocp.args.PyTreeRestore(
+                    template,
+                    restore_args=ocp.checkpoint_utils.construct_restore_args(
+                        template),
+                    partial_restore=True),
+                meta=ocp.args.JsonRestore()))
+        state, meta = restored["state"], dict(restored["meta"])
+        self.params = state["params"]
+        if "states" in state and self.states:
+            self.states = state["states"]
+        if restore_optimizer and "opt_states" in state and self.opt_states:
+            self.opt_states = [state["opt_states"].get(str(i), cur)
+                               for i, cur in enumerate(self.opt_states)]
+            self._rng_counter = int(meta.get("rng_counter", self._rng_counter))
+        return meta
+
+    def finalize_checkpoints(self):
+        """Block until any in-flight async (orbax) save has landed."""
+        if getattr(self, "_ocp_ckptr", None) is not None:
+            self._ocp_ckptr.wait_until_finished()
+
     def load_checkpoint(self, path: str, restore_optimizer: bool = False):
+        if os.path.isdir(path):                       # orbax directory ckpt
+            return self._load_checkpoint_orbax(path, restore_optimizer)
         from flax.serialization import from_bytes
         with open(path, "rb") as f:
             payload = pickle.load(f)

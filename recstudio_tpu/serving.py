@@ -173,11 +173,19 @@ def load_for_serving(checkpoint_path: str, train_data):
     ``train_data`` is the built dataset (vocab sizes / feature schema live
     there, as in the reference's load flow, reference utils/utils.py:87-120).
     """
+    import os
     import pickle
 
     from .utils import get_model, seed_everything
-    with open(checkpoint_path, "rb") as f:
-        payload = pickle.load(f)
+    if os.path.isdir(checkpoint_path):   # orbax directory checkpoint
+        import orbax.checkpoint as ocp
+        with ocp.Checkpointer(ocp.CompositeCheckpointHandler()) as ckptr:
+            payload = dict(ckptr.restore(
+                os.path.abspath(checkpoint_path),
+                args=ocp.args.Composite(meta=ocp.args.JsonRestore()))["meta"])
+    else:
+        with open(checkpoint_path, "rb") as f:
+            payload = pickle.load(f)
     model_class, _ = get_model(payload["model"])
     seed_everything(payload["config"]["train"].get("seed") or 2022)
     model = model_class(payload["config"])

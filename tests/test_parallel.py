@@ -277,3 +277,40 @@ def test_mesh_parity_sasrec():
         else:
             for k in single:
                 assert abs(single[k] - res[k]) < 2e-3, (k, single[k], res[k])
+
+
+def test_orbax_checkpoint_sharded_roundtrip():
+    """Orbax ckpt of an mp-sharded model: each array is written with its
+    sharding metadata and restored back onto the SAME mesh layout — the
+    pickle backend would host-materialize the full table instead."""
+    import os
+    import tempfile
+
+    import numpy as np
+    from recstudio_tpu.data import TripletDataset
+    from recstudio_tpu.utils import get_model, seed_everything
+
+    seed_everything(5)
+    cls, conf = get_model("BPR")
+    conf["train"].update(epochs=1, batch_size=512, mesh={"dp": 4, "mp": 2},
+                         ckpt_backend="orbax")
+    conf["eval"].update(batch_size=64, cutoff=[5], val_metrics=["ndcg"],
+                        test_metrics=["ndcg"], topk=20)
+    ds = TripletDataset("ml-100k")
+    trn, val, tst = ds.build(**conf["data"])
+    m1 = cls(conf)
+    m1.fit(trn, val, run_mode="light")
+    path = os.path.join(tempfile.mkdtemp(), "orbax_sharded")
+    m1.save_checkpoint(path, epoch=0)
+    m1.finalize_checkpoints()
+
+    m2 = cls(conf)
+    m2._init_model(trn)
+    m2._init_parameter(trn)
+    m2.load_checkpoint(path)
+    emb = m2.params["query_encoder"]["embedding"]
+    spec = getattr(emb, "sharding", None) and emb.sharding.spec
+    assert "mp" in str(spec), f"restored table not mp-sharded: {spec}"
+    np.testing.assert_allclose(
+        np.asarray(emb), np.asarray(m1.params["query_encoder"]["embedding"]),
+        rtol=1e-6)
