@@ -25,14 +25,17 @@ that recomputes the forward in VMEM (flash-style: the only residual is
 ``x`` itself) and accumulates all 12 weight/bias/LN gradients across the
 sequential grid.
 
-Packed cross-example attention: per-example L x L attention matrices are
-far below the 128x128 MXU tile, so the kernel packs TB examples along both
-score dimensions — S_h = Q_h @ K_h^T over the whole [M=TB*L, Dh] tile — and
-masks the cross-example blocks with a block-diagonal additive mask built
-once by the wrapper. The MXU wastes TB x FLOPs on masked-out blocks, but at
-TB*L ~ 160 the attention matmuls are still a small fraction of the layer
-(the FFN dominates) and every matmul in the kernel now has MXU-worthy
-shapes.
+Packed cross-example attention, in GROUPS: per-example L x L attention
+matrices are far below the 128x128 MXU tile, so the kernel packs G examples
+per attention group — S = Q_g @ K_g^T over [Lg=G*L, Dh] with a
+block-diagonal additive mask (built once by the wrapper, identical for
+every group since group boundaries align with examples). G is chosen so Lg
+rides one-or-few MXU tiles: packing the whole example tile (G=TB, the old
+scheme) wastes O(TB) FLOPs on masked-out cross-example blocks — at M=320,
+L=20 the packed scores were 16x redundant and attention dominated the
+layer; grouped at Lg~120 the waste is 6x on a 4x smaller matrix, and the
+per-head P/dropout residuals shrink from M*M to M*Lg, freeing VMEM for
+larger example tiles.
 """
 from __future__ import annotations
 
@@ -60,34 +63,59 @@ def supports_fused_layer(d_model: int, seq_len: int, n_head: int,
     return d_model <= 256 and dim_feedforward <= 1024 and seq_len <= 256
 
 
-def _tile_examples(L: int, D: int = 64, F: int = 128, H: int = 2) -> int:
-    """Examples per grid cell, VMEM-aware.
+def _choose_tiles(L: int, D: int = 64, F: int = 128, H: int = 2):
+    """(TB, G): examples per grid cell and examples per attention group.
 
-    Measured on v5e at SASRec shapes (L=20, D=64, F=128, H=2): M = TB*L of
-    ~320 beats the old 128-row minimum by ~13% (fewer grid cells, better
-    MXU occupancy); 640 regresses (the recompute backward's per-head P and
-    dropout-mask residuals blow past VMEM's sweet spot). Long sequences
-    keep minimal packing — the cross-example attention waste is O(M^2).
+    Picks the pair minimizing an MXU tick model (each 128^3 matmul pass is
+    one tick; a fixed per-cell overhead charge favors larger example tiles)
+    under a VMEM budget for the recompute backward's residuals. Constraints:
+    G | TB (groups hold whole examples) and (G*L) % 8 == 0 (sublane-aligned
+    slices). Override with RECSTUDIO_FTL_TILES="TB,G" for sweeps. Measured
+    on v5e at SASRec shapes (L=20, D=64, F=128, H=2): grouped Lg=120 tiles
+    beat the full-pack M=320 scheme (see module docstring).
     """
-    def vmem_bytes(M: int) -> int:
-        # f32 residuals the backward holds live per cell: the [M, M]
-        # additive mask, P + dropout keep per head, qkv/FFN activations
-        return 4 * (M * M * (1 + 2 * H) + M * (3 * D + F) * 4)
+    import os
+    override = os.environ.get("RECSTUDIO_FTL_TILES")
+    if override:
+        tb, g = (int(v) for v in override.split(","))
+        return tb, g
 
-    target = 128 if L >= 64 else 320
-    best = None
-    for TB in range(max(1, -(-target // L)) + 2, 0, -1):
+    Dh = max(1, D // H)
+    t = lambda n: -(-n // 128)  # ceil to MXU tiles
+
+    def ticks(M: int, Lg: int) -> float:
+        att = (M // Lg) * t(Lg) * t(Lg) * t(Dh) * 2 * H        # QK^T + PV
+        proj = t(M) * (t(3 * D) + t(D) + t(F) + t(D)) * t(D)   # qkv/o/ffn
+        return att + proj + 12.0                               # per-cell cost
+
+    def vmem_bytes(M: int, Lg: int) -> int:
+        # f32 live in the backward: [Lg, Lg] mask, per-head P + keep
+        # residuals (M*Lg each), x/qkv/x1/hpre/hact/hd/f activations
+        return 4 * (Lg * Lg + 2 * H * M * Lg + M * (3 * D + F) * 4)
+
+    best = None   # (cost_per_example, M, TB, G)
+    for TB in range(1, 65):
         M = TB * L
-        if M % 8 or vmem_bytes(M) > 10 * 2 ** 20:
+        # M capped at 512: measured on v5e (L=20), M=480 beats 960/640 even
+        # though the tick model scores them equal — smaller per-cell working
+        # sets pipeline better across grid cells
+        if M % 8 or M > 512:
             continue
-        if best is None or abs(M - target) < abs(best * L - target):
-            best = TB
+        for G in range(1, TB + 1):
+            Lg = G * L
+            if TB % G or Lg % 8 or Lg > 512:
+                continue
+            if vmem_bytes(M, Lg) > 10 * 2 ** 20:
+                continue
+            key = (ticks(M, Lg) / TB, M)
+            if best is None or key < best[:2]:
+                best = (*key, TB, G)
     if best is not None:
-        return best
-    TB = max(1, -(-128 // L))   # fallback: old minimal rule
+        return best[2], best[3]
+    TB = max(1, -(-128 // L))   # fallback: minimal rule, full pack
     while (TB * L) % 8:
         TB += 1
-    return TB
+    return TB, TB
 
 
 class _DropRng:
@@ -154,8 +182,16 @@ def _cell_rng(seed_ref, p, training):
     return _DropRng(seed_ref[0, 0] + pl.program_id(0) * jnp.int32(-1640531527))
 
 
-def _attention(qkv, mask, padrow, D, H, p, training, rng=None):
-    """Packed per-head attention. Returns (A, per-head residuals)."""
+def _attention(qkv, mask, padrow, D, H, Lg, p, training, rng=None):
+    """Grouped packed per-head attention over [Lg, Lg] score blocks.
+
+    ``mask`` is the [Lg, Lg] additive block-diagonal (+ user) mask shared by
+    every group; ``padrow`` the [n_g*8, Lg] additive key-padding rows for
+    the cell — group g's row lives at sublane 8*g (8x-replicated so the
+    kernel slices on an aligned sublane boundary; a lane-dim slice of a
+    [1, M] row at offset g*Lg is not Mosaic-lowerable when Lg % 128 != 0).
+    Returns (A [M, D], residuals keyed (head, group))."""
+    M = qkv.shape[0]
     Dh = D // H
     scale = 1.0 / (Dh ** 0.5)
     heads, resid = [], []
@@ -163,27 +199,36 @@ def _attention(qkv, mask, padrow, D, H, p, training, rng=None):
         q = qkv[:, h * Dh:(h + 1) * Dh]
         k = qkv[:, D + h * Dh:D + (h + 1) * Dh]
         v = qkv[:, 2 * D + h * Dh:2 * D + (h + 1) * Dh]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        s = jnp.maximum(s + mask + padrow, NEG)
-        m = s.max(-1, keepdims=True)
-        e = jnp.exp(s - m)
-        P = e / e.sum(-1, keepdims=True)
-        keep = rng.keep(P.shape, p) if rng is not None else None
-        Pd = P * keep if keep is not None else P
-        heads.append(jnp.dot(Pd, v, preferred_element_type=jnp.float32))
-        resid.append((q, k, v, P, keep))
+        rows, hres = [], []
+        for g in range(M // Lg):
+            sl = slice(g * Lg, (g + 1) * Lg)
+            s = jnp.dot(q[sl], k[sl].T,
+                        preferred_element_type=jnp.float32) * scale
+            s = jnp.maximum(s + mask + padrow[8 * g:8 * g + 1, :], NEG)
+            m = s.max(-1, keepdims=True)
+            e = jnp.exp(s - m)
+            P = e / e.sum(-1, keepdims=True)
+            keep = rng.keep(P.shape, p) if rng is not None else None
+            Pd = P * keep if keep is not None else P
+            rows.append(jnp.dot(Pd, v[sl],
+                                preferred_element_type=jnp.float32))
+            hres.append((P, keep))
+        heads.append(jnp.concatenate(rows, axis=0) if len(rows) > 1
+                     else rows[0])
+        resid.append((q, k, v, hres))
     return jnp.concatenate(heads, axis=-1), resid
 
 
 def _fwd_kernel(seed_ref, x_ref, mask_ref, padrow_ref,
                 wqkv_ref, bqkv_ref, wo_ref, bo_ref, n1s_ref, n1b_ref,
                 w1_ref, b1_ref, w2_ref, b2_ref, n2s_ref, n2b_ref,
-                out_ref, *, H, p, training, act, eps):
+                out_ref, *, H, Lg, p, training, act, eps):
     rng = _cell_rng(seed_ref, p, training)
     x = x_ref[:].astype(jnp.float32)                       # [M, D]
     D = x.shape[-1]
     qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv_ref[:]
-    A, _ = _attention(qkv, mask_ref[:], padrow_ref[0], D, H, p, training, rng)
+    A, _ = _attention(qkv, mask_ref[:], padrow_ref[0], D, H, Lg, p,
+                      training, rng)
     o = jnp.dot(A, wo_ref[:], preferred_element_type=jnp.float32) + bo_ref[:]
     if training and p > 0:
         o = o * rng.keep(o.shape, p)
@@ -204,7 +249,7 @@ def _bwd_kernel(seed_ref, x_ref, mask_ref, padrow_ref,
                 w1_ref, b1_ref, w2_ref, b2_ref, n2s_ref, n2b_ref, g_ref,
                 dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref,
                 dn1s_ref, dn1b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-                dn2s_ref, dn2b_ref, *, H, p, training, act, eps):
+                dn2s_ref, dn2b_ref, *, H, Lg, p, training, act, eps):
     rng = _cell_rng(seed_ref, p, training)
     x = x_ref[:].astype(jnp.float32)
     D = x.shape[-1]
@@ -212,7 +257,8 @@ def _bwd_kernel(seed_ref, x_ref, mask_ref, padrow_ref,
 
     # ---- recompute forward (same PRNG stream order as _fwd_kernel) ----
     qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv_ref[:]
-    A, resid = _attention(qkv, mask_ref[:], padrow_ref[0], D, H, p, training, rng)
+    A, resid = _attention(qkv, mask_ref[:], padrow_ref[0], D, H, Lg, p,
+                          training, rng)
     o_pre = jnp.dot(A, wo_ref[:], preferred_element_type=jnp.float32) + bo_ref[:]
     keep_o = rng.keep(o_pre.shape, p) if drop else None
     o = o_pre * keep_o if drop else o_pre
@@ -249,20 +295,34 @@ def _bwd_kernel(seed_ref, x_ref, mask_ref, padrow_ref,
     dbo = jnp.sum(do, 0, keepdims=True)
     dA = jnp.dot(do, wo_ref[:].T, preferred_element_type=jnp.float32)
 
+    M = x.shape[0]
     Dh = D // H
     scale = 1.0 / (Dh ** 0.5)
     dq_heads, dk_heads, dv_heads = [], [], []
     for h in range(H):
-        q, k, v, P, keep = resid[h]
+        q, k, v, hres = resid[h]
         dAh = dA[:, h * Dh:(h + 1) * Dh]
-        Pd = P * keep if keep is not None else P
-        dv_heads.append(jnp.dot(Pd.T, dAh, preferred_element_type=jnp.float32))
-        dP = jnp.dot(dAh, v.T, preferred_element_type=jnp.float32)
-        if keep is not None:
-            dP = dP * keep
-        dS = P * (dP - jnp.sum(dP * P, -1, keepdims=True))
-        dq_heads.append(jnp.dot(dS, k, preferred_element_type=jnp.float32) * scale)
-        dk_heads.append(jnp.dot(dS.T, q, preferred_element_type=jnp.float32) * scale)
+        dq_rows, dk_rows, dv_rows = [], [], []
+        for g in range(M // Lg):
+            sl = slice(g * Lg, (g + 1) * Lg)
+            P, keep = hres[g]
+            dAg = dAh[sl]
+            Pd = P * keep if keep is not None else P
+            dv_rows.append(jnp.dot(Pd.T, dAg,
+                                   preferred_element_type=jnp.float32))
+            dP = jnp.dot(dAg, v[sl].T, preferred_element_type=jnp.float32)
+            if keep is not None:
+                dP = dP * keep
+            dS = P * (dP - jnp.sum(dP * P, -1, keepdims=True))
+            dq_rows.append(jnp.dot(dS, k[sl],
+                                   preferred_element_type=jnp.float32) * scale)
+            dk_rows.append(jnp.dot(dS.T, q[sl],
+                                   preferred_element_type=jnp.float32) * scale)
+        cat = (lambda rows: jnp.concatenate(rows, axis=0)
+               if len(rows) > 1 else rows[0])
+        dq_heads.append(cat(dq_rows))
+        dk_heads.append(cat(dk_rows))
+        dv_heads.append(cat(dv_rows))
     dqkv = jnp.concatenate(dq_heads + dk_heads + dv_heads, axis=-1)
     dwqkv = jnp.dot(x.T, dqkv, preferred_element_type=jnp.float32)
     dbqkv = jnp.sum(dqkv, 0, keepdims=True)
@@ -289,10 +349,11 @@ def _full_spec(shape):
 
 
 @functools.lru_cache(maxsize=32)
-def _make_fused_layer(TB: int, L: int, D: int, F: int, H: int, p: float,
-                      training: bool, act: str, eps: float):
+def _make_fused_layer(TB: int, G: int, L: int, D: int, F: int, H: int,
+                      p: float, training: bool, act: str, eps: float):
     """Build the custom-VJP fused layer for one static config."""
     M = TB * L
+    Lg = G * L
 
     def weight_specs():
         return [_full_spec((D, 3 * D)), _full_spec((1, 3 * D)),
@@ -302,17 +363,18 @@ def _make_fused_layer(TB: int, L: int, D: int, F: int, H: int, p: float,
                 _full_spec((F, D)), _full_spec((1, D)),
                 _full_spec((1, D)), _full_spec((1, D))]
 
+    n_g = M // Lg
+
     def data_specs():
-        # padrow is [n_cells, 1, M]: Mosaic requires the last two block dims
-        # to be (8,128)-divisible or equal to the array dims, so the grid
-        # dimension must not be one of them
+        # padrow is [n_cells, n_g*8, Lg] (see _attention): the grid
+        # dimension must not be one of the last two block dims
         return [pl.BlockSpec((1, 1), lambda c: (0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((M, D), lambda c: (c, 0), memory_space=pltpu.VMEM),
-                _full_spec((M, M)),
-                pl.BlockSpec((1, 1, M), lambda c: (c, 0, 0),
+                _full_spec((Lg, Lg)),
+                pl.BlockSpec((1, n_g * 8, Lg), lambda c: (c, 0, 0),
                              memory_space=pltpu.VMEM)]
 
-    kern_kw = dict(H=H, p=p, training=training, act=act, eps=eps)
+    kern_kw = dict(H=H, Lg=Lg, p=p, training=training, act=act, eps=eps)
 
     def fwd(seed, x, mask, padrow, *w):
         n_cells = x.shape[0] // M
@@ -378,8 +440,9 @@ def fused_transformer_layer(
     """Apply the fused layer to a [B, L, D] batch (pads B to the tile)."""
     B, L, D = x.shape
     F = params["ffn1_kernel"].shape[-1]
-    TB = _tile_examples(L, D, F, n_head)
+    TB, G = _choose_tiles(L, D, F, n_head)
     M = TB * L
+    Lg = G * L
     Bp = -(-B // TB) * TB
     n_cells = Bp // TB
 
@@ -387,24 +450,27 @@ def fused_transformer_layer(
     if Bp != B:
         xf = jnp.pad(xf, ((0, (Bp - B) * L), (0, 0)))
 
-    # block-diagonal (cross-example) + user attention mask, [M, M] additive
-    ex = jnp.arange(M) // L
+    # block-diagonal (cross-example) + user attention mask, [Lg, Lg]
+    # additive — identical for every attention group (G whole examples)
+    ex = jnp.arange(Lg) // L
     same = ex[:, None] == ex[None, :]
     if attn_mask is not None:
         tiled = jnp.tile(jnp.where(attn_mask, NEG, 0.0).astype(jnp.float32),
-                         (TB, TB))
+                         (G, G))
     else:
-        tiled = jnp.zeros((M, M), jnp.float32)
+        tiled = jnp.zeros((Lg, Lg), jnp.float32)
     mask = jnp.where(same, tiled, NEG)
 
-    # per-cell key-padding additive row [n_cells, M]
+    # per-cell, per-group key-padding rows [n_cells, n_g*8, Lg]
+    # (group g replicated at sublanes 8g..8g+7 — see _attention)
+    n_g = M // Lg
     if key_padding_mask is not None:
         pad = jnp.where(key_padding_mask, NEG, 0.0).astype(jnp.float32)
         if Bp != B:
             pad = jnp.pad(pad, ((0, Bp - B), (0, 0)))
-        padrow = pad.reshape(n_cells, 1, M)
+        padrow = jnp.repeat(pad.reshape(n_cells, n_g, Lg), 8, axis=1)
     else:
-        padrow = jnp.zeros((n_cells, 1, M), jnp.float32)
+        padrow = jnp.zeros((n_cells, n_g * 8, Lg), jnp.float32)
 
     w = (params["qkv_kernel"], params["qkv_bias"].reshape(1, -1),
          params["out_kernel"], params["out_bias"].reshape(1, -1),
@@ -413,7 +479,7 @@ def fused_transformer_layer(
          params["ffn2_kernel"], params["ffn2_bias"].reshape(1, -1),
          params["norm2_scale"].reshape(1, -1), params["norm2_bias"].reshape(1, -1))
 
-    layer = _make_fused_layer(TB, L, D, F, n_head, float(dropout),
+    layer = _make_fused_layer(TB, G, L, D, F, n_head, float(dropout),
                               bool(training), activation, float(layer_norm_eps))
     seed2d = jnp.asarray(seed, jnp.int32).reshape(1, 1)
     out = layer(seed2d, xf, mask, padrow, *w)

@@ -27,7 +27,7 @@ def test_mesh_shapes(mesh8):
 
 
 def test_sharded_lookup_matches_dense(mesh8):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     n_rows, d = pad_vocab(100, 2), 16
     table = jax.random.normal(jax.random.PRNGKey(0), (n_rows, d))
     ids = jax.random.randint(jax.random.PRNGKey(1), (32,), 0, 100)
@@ -40,7 +40,7 @@ def test_sharded_lookup_matches_dense(mesh8):
 
 
 def test_sharded_lookup_gradient(mesh8):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     n_rows, d = 8, 4
     table = jnp.ones((n_rows, d))
     ids = jnp.array([1, 1, 5])
@@ -110,7 +110,7 @@ def test_accelerator_dp_training():
 
 def test_sharded_mips_topk_exact(mesh8):
     """Row-sharded exact top-k matches the single-device result."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from recstudio_tpu.ops.topk import sharded_mips_topk
     B, N, D, K = 16, 512, 32, 10
     q = jax.random.normal(jax.random.PRNGKey(0), (B, D))
@@ -118,7 +118,7 @@ def test_sharded_mips_topk_exact(mesh8):
 
     fn = shard_map(lambda qq, it: sharded_mips_topk(qq, it, K, "mp"),
                    mesh=mesh8, in_specs=(P(), P("mp", None)),
-                   out_specs=(P(), P()), check_rep=False)
+                   out_specs=(P(), P()), check_vma=False)
     v, i = fn(q, items)
     v_ref, i_ref = jax.lax.top_k(q @ items.T, K)
     np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), rtol=1e-5)
