@@ -62,20 +62,41 @@ def bench_train(name, timed_epochs, train_overrides=None):
 
 
 def bench_eval_qps(name="BPR", repeats=20):
-    """Full-catalog top-k eval passes/s -> queries/s, plus the Recall@20 the
-    number was measured at (BASELINE.md: 'queries/s at fixed Recall@20')."""
+    """Full-catalog top-k eval throughput -> queries/s, plus the Recall@20
+    the number was measured at (BASELINE.md: 'queries/s at fixed Recall@20').
+
+    Throughput protocol: K eval passes are dispatched back-to-back and their
+    packed metric vectors stacked on device and fetched in ONE read — the
+    same single-read windowing the training bench uses. Reading every pass
+    would measure the tunnel's ~20 ms fetch round-trip, not the machine
+    (each pass's metrics ARE materialized on host from the stacked fetch).
+    Per-pass latency is the serving Predictor's metric, not this one."""
+    import jax
+    import jax.numpy as jnp
     if SMOKE:
         repeats = 2
     model, trn, tst = _build(name, {"epochs": 20})
+    model.config["eval"]["batch_size"] = 256   # MXU-worthy eval batches
     for _ in range(2 if SMOKE else 20):
         model.training_epoch(0)
     n_queries = len(tst.data_index)
     out = model._eval_epoch(tst, ["recall"], cutoffs=[20])  # compile + warm
+    source, packed_eval, keys = model._eval_scan_parts(tst, ["recall"], [20])
+    stack = jax.jit(lambda xs: jnp.stack(xs))
+
+    def window():
+        outs = [packed_eval(model.params, source, model.states)[0]
+                for _ in range(repeats)]
+        return np.asarray(stack(outs))
+    window()                                   # warm the stack-read path
     t0 = time.time()
-    for _ in range(repeats):
-        out = model._eval_epoch(tst, ["recall"], cutoffs=[20])  # each call reads
+    packed = window()
     dt = time.time() - t0
-    return n_queries * repeats / dt, float(out["recall@20"])
+    # recall@20 recomputed from the fetched sums of the LAST pass
+    idx = keys.index("recall@20")
+    r20 = float(packed[-1][idx]) / max(float(packed[-1][-1]), 1.0)
+    assert all(np.allclose(p, packed[0]) for p in packed)
+    return n_queries * repeats / dt, r20
 
 
 def _run_section(section: str) -> dict:
