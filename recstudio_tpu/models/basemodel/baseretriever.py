@@ -649,7 +649,7 @@ class BaseRetriever(Recommender):
         uid = batch[self.fuid]
         iid = batch[self.fiid]
         rng_q, rng_s = jax.random.split(rng)   # forward()'s stream split
-        q_rows = jnp.take(Wq, uid, axis=0)
+        q_rows = Wq.at[uid].get(mode="promise_in_bounds")
         log_pos_prob, neg_ids, log_neg_prob = self.sampling(
             params, batch, rng_s, states, self.neg_count,
             excluding_hist=self.config["train"].get("excluding_hist", False),
@@ -663,8 +663,8 @@ class BaseRetriever(Recommender):
                 neg_score=self.score_func(q, neg),
                 log_neg_prob=log_neg_prob)
 
-        pos_rows = jnp.take(Wi, iid, axis=0)
-        neg_rows = jnp.take(Wi, neg_ids, axis=0)
+        pos_rows = Wi.at[iid].get(mode="promise_in_bounds")
+        neg_rows = Wi.at[neg_ids].get(mode="promise_in_bounds")
         loss, (dq, dpos, dneg) = jax.value_and_grad(
             loss_from_rows, argnums=(0, 1, 2))(q_rows, pos_rows, neg_rows)
 

@@ -71,11 +71,11 @@ class Embeddings(nn.Module):
             if t == "token":
                 table = self.param(f"{name}_embedding", nn.initializers.normal(0.02),
                                    (n, self.embed_dim))
-                embs.append(jnp.take(table, d, axis=0))
+                embs.append(table.at[d].get(mode="promise_in_bounds"))
             elif t == "token_seq":
                 table = self.param(f"{name}_embedding", nn.initializers.normal(0.02),
                                    (n, self.embed_dim))
-                e = jnp.take(table, d, axis=0)                 # [..., L, D]
+                e = table.at[d].get(mode="promise_in_bounds")  # [..., L, D]
                 valid = (d > 0).astype(e.dtype)[..., None]
                 s = (e * valid).sum(-2)
                 if self.reduction == "mean":

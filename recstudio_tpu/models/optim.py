@@ -95,8 +95,8 @@ def row_lazy_adam(table: jax.Array, mu: jax.Array, nu: jax.Array,
     valid = ((jnp.arange(K) < head.sum()) & (seg_ids > 0)
              & jnp.any(jnp.abs(agg) > 0, axis=-1))
     read = jnp.where(valid, seg_ids, 0)
-    mu_r = jnp.take(mu, read, axis=0)
-    nu_r = jnp.take(nu, read, axis=0)
+    mu_r = mu.at[read].get(mode="promise_in_bounds")
+    nu_r = nu.at[read].get(mode="promise_in_bounds")
     cf = count.astype(jnp.float32)
     bc1 = 1.0 - b1 ** cf
     bc2 = 1.0 - b2 ** cf
