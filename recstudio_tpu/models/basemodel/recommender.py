@@ -366,10 +366,24 @@ class Recommender:
         n = len(train_data.data_index)
         bs = int(self.config["train"]["batch_size"])
         nbatch = -(-n // bs)
-        arrays_host = train_data._get_pos_batch(np.arange(n))
-        nbytes = sum(np.asarray(v).nbytes for v in arrays_host.values())
-        if nbytes > self._device_data_budget():
-            return self._setup_chunked_epoch(train_data, optimizer, arrays_host)
+        # compact staging: sequence datasets provide raw columns + an
+        # on-device window-expansion batch_fn, avoiding the [n, L] host
+        # blowup (L× the raw split; minutes of host->device transfer at
+        # 1M+ interactions) the expanded path below would stage
+        batch_fn, arrays_host = None, None
+        batcher = getattr(train_data, "device_epoch_arrays", None)
+        if batcher is not None:
+            out = batcher()
+            if out is not None:
+                arrays_host, batch_fn = out
+                nbytes = sum(np.asarray(v).nbytes for v in arrays_host.values())
+                if nbytes > self._device_data_budget():
+                    arrays_host, batch_fn = None, None
+        if arrays_host is None:
+            arrays_host = train_data._get_pos_batch(np.arange(n))
+            nbytes = sum(np.asarray(v).nbytes for v in arrays_host.values())
+            if nbytes > self._device_data_budget():
+                return self._setup_chunked_epoch(train_data, optimizer, arrays_host)
         arrays = {k: jnp.asarray(v) for k, v in arrays_host.items()}
         shuffle = bool(self.config["data"].get("shuffle", True))
 
@@ -403,7 +417,9 @@ class Recommender:
 
             def body(carry, sel):
                 params, opt_state, i = carry
-                batch = _constrain({k: v[sel] for k, v in data.items()})
+                raw = batch_fn(data, sel) if batch_fn is not None \
+                    else {k: v[sel] for k, v in data.items()}
+                batch = _constrain(raw)
                 step_rng = jax.random.fold_in(rng, i)
                 params, opt_state, loss = self._grad_step(
                     optimizer, params, opt_state, batch, step_rng, states)

@@ -409,6 +409,16 @@ class TransformerLayer(nn.Module):
         q, k, v = jnp.split(qkv, 3, axis=-1)
         heads = lambda t: t.reshape(B, L, H, d // H).transpose(0, 2, 1, 3)
         q, k, v = heads(q), heads(k), heads(v)
+        from ...ops import attention as attn_ops
+        if (attn_ops.supports_pallas() and not (self.dropout > 0 and training)
+                and (attn_mask is None or attn_mask.ndim == 2)):
+            # flash/fused attention for the configs the fused LAYER kernel
+            # declines (long L, wide d/F): no [B, H, L, L] logits in HBM.
+            # Attention-prob dropout keeps the dense path (the kernels don't
+            # drop inside the softmax); output/FFN dropout below still apply.
+            attn = attn_ops.fused_mha(q, k, v, key_padding_mask, attn_mask) \
+                .transpose(0, 2, 1, 3).reshape(B, L, d)
+            return self._xla_tail(x, attn, params, training)
         logits = (q @ k.transpose(0, 1, 3, 2)) / jnp.sqrt(d / H)
         neg = jnp.finfo(logits.dtype).min
         if attn_mask is not None:
@@ -420,6 +430,9 @@ class TransformerLayer(nn.Module):
         if self.dropout > 0:
             w = nn.Dropout(self.dropout, deterministic=not training)(w)
         attn = (w @ v).transpose(0, 2, 1, 3).reshape(B, L, d)
+        return self._xla_tail(x, attn, params, training)
+
+    def _xla_tail(self, x, attn, params, training):
         attn = attn @ params["out_kernel"] + params["out_bias"]
         if self.dropout > 0:
             attn = nn.Dropout(self.dropout, deterministic=not training)(attn)

@@ -85,9 +85,74 @@ def run_scale(shape_name: str, chunked: bool = False, epochs_timed: int = 5):
     return rec
 
 
+def run_scale_seq(shape_name: str, max_seq_len: int = 200,
+                  embed_dim: int = 128, epochs_timed: int = 3):
+    """Transformer at scale: SASRec at production-ish shapes (L=200,
+    d=128) on a synthetic catalog — exercises the fused transformer layer
+    at multi-group attention tiles and the sequence ETL beyond ml-100k."""
+    from recstudio_tpu.data.synthetic import SHAPES, generate
+    from recstudio_tpu.utils import get_model, seed_everything
+
+    n_users, n_items, n_inters = SHAPES[shape_name]
+    name, config = generate(shape_name, n_users, n_items, n_inters, seed=7)
+    config["max_seq_len"] = max_seq_len
+
+    model_class, conf = get_model("SASRec")
+    conf["model"]["embed_dim"] = embed_dim
+    conf["train"].update(epochs=1, batch_size=1024, benchmark_mode=True)
+    conf["eval"].update(batch_size=256, cutoff=[20], val_metrics=["ndcg"],
+                        test_metrics=["ndcg", "recall"], topk=100)
+    seed_everything(2022)
+    t0 = time.time()
+    ds = model_class._get_dataset_class()(name, config=config)
+    trn, val, tst = ds.build(**conf["data"])
+    t_etl = time.time() - t0
+
+    model = model_class(conf)
+    t0 = time.time()
+    model.fit(trn, None, run_mode="light")
+    for _ in range(2):
+        loss = model.training_epoch(0)
+    assert np.isfinite(float(loss))
+    t_compile = time.time() - t0
+
+    n_examples = len(trn.data_index)
+    t0 = time.time()
+    losses = [model.training_epoch(0) for _ in range(epochs_timed)]
+    final = float(losses[-1])
+    dt = time.time() - t0
+    assert np.isfinite(final)
+
+    model._epoch_refresh(-1)
+    n_queries = len(tst.data_index)
+    out = model._eval_epoch(tst, ["ndcg", "recall"], cutoffs=[20])  # compile
+    t0 = time.time()
+    out = model._eval_epoch(tst, ["ndcg", "recall"], cutoffs=[20])
+    t_eval = time.time() - t0
+
+    rec = {
+        "metric": f"SASRec/{shape_name}/L{max_seq_len}/d{embed_dim} train throughput",
+        "value": round(n_examples * epochs_timed / dt, 1),
+        "unit": "examples/s",
+        "n_inters": n_inters,
+        "seq_len": max_seq_len,
+        "etl_s": round(t_etl, 1),
+        "compile_s": round(t_compile, 1),
+        "epoch_s": round(dt / epochs_timed, 3),
+        "eval_pass_s": round(t_eval, 3),
+        "eval_qps": round(n_queries / t_eval, 1),
+        "recall@20": round(out["recall@20"], 4),
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
 if __name__ == "__main__":
     shapes = sys.argv[1:] or ["ml-1m-shape", "ml-10m-shape"]
-    for s in shapes:
-        run_scale(s)
-    if "ml-10m-shape" in shapes:
-        run_scale("ml-10m-shape", chunked=True)
+    if shapes == ["seq"]:
+        run_scale_seq("ml-1m-shape")
+    else:
+        for s in shapes:
+            run_scale(s)
+        if "ml-10m-shape" in shapes:
+            run_scale("ml-10m-shape", chunked=True)

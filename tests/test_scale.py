@@ -85,3 +85,50 @@ def test_synthetic_generator_end_to_end(tmp_path):
     m._epoch_refresh(-1)
     res = m._eval_epoch(tst, ["ndcg"], cutoffs=[10])
     assert np.isfinite(res["ndcg@10"])
+
+
+def test_compact_seq_staging_matches_expanded():
+    """Sequence datasets stage RAW columns + data_index for the scan epoch
+    and expand each batch's [L] window on device — the host-expanded
+    [n, L] tensor is L× the raw split (minutes of transfer at 1M+
+    interactions). Metrics must be bit-identical to the expanded path."""
+    from recstudio_tpu.data import SeqDataset
+
+    cls, conf = get_model("SASRec")
+    conf["train"].update(epochs=2, batch_size=256)
+    conf["eval"].update(EVAL_CONF)
+    seed_everything(7)
+    ds = cls._get_dataset_class()("ml-100k")
+    trn, val, tst = ds.build(**conf["data"])
+
+    compact, batch_fn = trn.device_epoch_arrays()
+    n = len(trn.data_index)
+    compact_bytes = sum(np.asarray(v).nbytes for v in compact.values())
+    expanded_bytes = sum(np.asarray(v).nbytes
+                         for v in trn._get_pos_batch(np.arange(n)).values())
+    assert compact_bytes < expanded_bytes / 5, (compact_bytes, expanded_bytes)
+
+    # the on-device batch_fn reproduces _get_pos_batch exactly
+    sel = np.arange(0, n, max(n // 97, 1))
+    host = trn._get_pos_batch(sel)
+    import jax.numpy as jnp
+    dev = batch_fn({k: jnp.asarray(v) for k, v in compact.items()},
+                   jnp.asarray(sel))
+    assert set(dev) == set(host)
+    for k in host:
+        np.testing.assert_array_equal(np.asarray(dev[k]), host[k], err_msg=k)
+
+    seed_everything(7)
+    m1 = cls(conf)
+    m1.fit(trn, val, run_mode="light")
+    res1 = m1.evaluate(tst, verbose=False)
+
+    seed_everything(7)
+    ds2 = cls._get_dataset_class()("ml-100k")
+    trn2, val2, tst2 = ds2.build(**conf["data"])
+    trn2.device_epoch_arrays = lambda: None  # force the expanded path
+    m2 = cls(conf)
+    m2.fit(trn2, val2, run_mode="light")
+    res2 = m2.evaluate(tst2, verbose=False)
+    for k in res1:
+        assert abs(res1[k] - res2[k]) < 1e-6, (k, res1[k], res2[k])
