@@ -369,11 +369,21 @@ class Recommender:
         # compact staging: sequence datasets provide raw columns + an
         # on-device window-expansion batch_fn, avoiding the [n, L] host
         # blowup (L× the raw split; minutes of host->device transfer at
-        # 1M+ interactions) the expanded path below would stage
+        # 1M+ interactions) the expanded path below would stage. The
+        # expansion costs ~0.5-1 ms per scan step, so SMALL splits keep the
+        # fully-expanded staging (fastest steady state); `train.seq_staging`
+        # picks [auto (size-based), compact, expanded].
         batch_fn, arrays_host = None, None
+        staging = str(self.config["train"].get("seq_staging", "auto")).lower()
         batcher = getattr(train_data, "device_epoch_arrays", None)
-        if batcher is not None:
-            out = batcher()
+        if batcher is not None and staging != "expanded":
+            use_compact = staging == "compact"
+            if not use_compact:  # auto: estimate the expanded staging size
+                probe = train_data._get_pos_batch(np.arange(min(n, 4)))
+                per_row = sum(np.asarray(v).nbytes for v in probe.values()) \
+                    / max(min(n, 4), 1)
+                use_compact = per_row * n > (128 << 20)
+            out = batcher() if use_compact else None
             if out is not None:
                 arrays_host, batch_fn = out
                 nbytes = sum(np.asarray(v).nbytes for v in arrays_host.values())

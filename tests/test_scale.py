@@ -95,7 +95,9 @@ def test_compact_seq_staging_matches_expanded():
     from recstudio_tpu.data import SeqDataset
 
     cls, conf = get_model("SASRec")
-    conf["train"].update(epochs=2, batch_size=256)
+    # ml-100k's expanded windows are tiny, so auto would pick expanded —
+    # force compact to exercise the on-device expansion end to end
+    conf["train"].update(epochs=2, batch_size=256, seq_staging="compact")
     conf["eval"].update(EVAL_CONF)
     seed_everything(7)
     ds = cls._get_dataset_class()("ml-100k")
