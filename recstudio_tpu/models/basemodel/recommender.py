@@ -27,6 +27,7 @@ import copy
 import os
 import pickle
 import time
+from contextlib import contextmanager
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -660,7 +661,8 @@ class Recommender:
         e0, counter, stop = getattr(self, "_start_epoch", 0), 0, False
         best_value = float("-inf") if mode_max else float("inf")
         best_epoch = -1
-        while e0 < epochs and not stop:
+        while e0 < epochs and not stop \
+                and not getattr(self, "_preempt_requested", False):
             k = min(K, epochs - e0)
             ids = jnp.arange(e0, e0 + k)
             t0 = time.time()
@@ -708,6 +710,12 @@ class Recommender:
     # ------------------------------------------------------------------
     def fit(self, train_data, val_data=None, run_mode: str = "light",
             config: Dict = None, resume_from: Optional[str] = None, **kwargs):
+        with self._graceful_stop():
+            return self._fit(train_data, val_data, run_mode, config,
+                             resume_from, **kwargs)
+
+    def _fit(self, train_data, val_data=None, run_mode: str = "light",
+             config: Dict = None, resume_from: Optional[str] = None, **kwargs):
         if config is not None:
             self.config = deep_update(self.config, config)
         for k, v in (kwargs or {}).items():
@@ -777,6 +785,31 @@ class Recommender:
         self._init_tensorboard(train_data.name)
         self.fit_loop(val_data)
         return self
+
+    @contextmanager
+    def _graceful_stop(self):
+        """Preemption-safe fits: SIGTERM (what cloud schedulers send before
+        reclaiming a VM/TPU) finishes the current epoch/block, saves the
+        checkpoint through the normal fit-end path and returns — so
+        ``fit(resume_from=...)`` continues exactly. The reference only
+        handles KeyboardInterrupt (reference quick_start.py)."""
+        import signal
+        import threading
+        self._preempt_requested = False
+        if threading.current_thread() is not threading.main_thread():
+            yield  # signal handlers are main-thread-only
+            return
+
+        def handler(signum, frame):
+            self._preempt_requested = True
+            self.logger.info(
+                "SIGTERM received — stopping at the next epoch boundary")
+
+        prev = signal.signal(signal.SIGTERM, handler)
+        try:
+            yield
+        finally:
+            signal.signal(signal.SIGTERM, prev)
 
     def _init_tensorboard(self, dataset_name: str):
         """TensorBoard scalars + config table (reference recommender.py:103-119),
@@ -878,6 +911,9 @@ class Recommender:
                         f"best {getattr(self.callback, 'monitor', '')}="
                         f"{getattr(self.callback, 'best_value', float('nan')):.4f} "
                         f"@ epoch {getattr(self.callback, 'best_epoch', -1)}")
+                    break
+                if getattr(self, "_preempt_requested", False):
+                    self.logger.info(f"preempted — stopping after epoch {nepoch}")
                     break
         except KeyboardInterrupt:
             self.logger.info("training interrupted — saving checkpoint")

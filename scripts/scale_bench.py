@@ -149,8 +149,9 @@ def run_scale_seq(shape_name: str, max_seq_len: int = 200,
 
 if __name__ == "__main__":
     shapes = sys.argv[1:] or ["ml-1m-shape", "ml-10m-shape"]
-    if shapes == ["seq"]:
-        run_scale_seq("ml-1m-shape")
+    if shapes[0] == "seq":
+        for s in shapes[1:] or ["ml-1m-shape"]:
+            run_scale_seq(s)
     else:
         for s in shapes:
             run_scale(s)

@@ -174,3 +174,45 @@ def test_orbax_checkpoint_roundtrip_and_resume():
     a = jax.tree_util.tree_leaves(m3.params)
     b = jax.tree_util.tree_leaves(m1.callback.best_params[0])
     assert all(np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(a, b))
+
+
+def test_sigterm_preemption_checkpoints_and_resumes():
+    """SIGTERM (cloud preemption) stops at the next epoch boundary, saves the
+    usual full-fidelity checkpoint, and fit(resume_from=) continues."""
+    import os
+    import signal
+    import threading
+
+    import numpy as np
+
+    from recstudio_tpu.data import TripletDataset
+    from recstudio_tpu.utils import get_model, seed_everything
+
+    seed_everything(3)
+    cls, conf = get_model("BPR")
+    conf["train"].update(epochs=500, batch_size=512)
+    conf["eval"].update(batch_size=128, cutoff=[5], val_metrics=["ndcg"],
+                        test_metrics=["ndcg"], topk=20)
+    ds = TripletDataset("ml-100k")
+    trn, val, tst = ds.build(**conf["data"])
+    m = cls(conf)
+    timer = threading.Timer(3.0, os.kill, (os.getpid(), signal.SIGTERM))
+    timer.start()
+    try:
+        m.fit(trn, None, run_mode="light")   # SaveLast path, per-epoch loop
+    finally:
+        timer.cancel()
+    assert m._preempt_requested, "SIGTERM should have landed mid-fit"
+    assert m.ckpt_path is not None and os.path.exists(m.ckpt_path)
+
+    # resume from the preemption checkpoint with a reduced epoch budget
+    import pickle
+    with open(m.ckpt_path, "rb") as f:
+        saved_epoch = int(pickle.load(f)["epoch"])
+    assert 0 <= saved_epoch < 499, "preemption should have cut the fit short"
+    m2 = cls(conf)
+    m2.fit(trn, None, run_mode="light", resume_from=m.ckpt_path,
+           config={"train": {"epochs": saved_epoch + 3}})
+    assert m2._start_epoch == saved_epoch + 1
+    res = m2.evaluate(tst, verbose=False)
+    assert np.isfinite(res["ndcg@5"])
