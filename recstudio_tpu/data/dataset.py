@@ -1026,15 +1026,17 @@ class UserDataset(TripletDataset):
         for prefix, (cs, ce), width in [("in_", (1, 2), self._in_width()),
                                         ("", (4, 5), self._eval_target_width())]:
             gather, valid = self._window(rows[:, cs], rows[:, ce], width)
-            batch[prefix + self.fiid] = np.where(valid, fiid_col[gather], 0).astype(np.int32)
+            iid_win = np.where(valid, fiid_col[gather], 0).astype(np.int32)
+            batch[prefix + self.fiid] = iid_win
             for r in self._rating_fields():
                 rcol = self.inter_feat.get_col(r)
                 batch[prefix + r] = np.where(valid, rcol[gather], 0).astype(np.float32)
             if self.item_feat is not None:
                 for f in self._fields_of(self.item_feat):
                     if f != self.fiid:
+                        # join by the windowed ITEM ids (0 = pad row)
                         col = self.item_feat.get_col(f)
-                        batch[prefix + f] = np.where(valid, col[gather], 0)
+                        batch[prefix + f] = np.where(valid, col[iid_win], 0)
         return batch
 
     def _make_batch(self, idx, rng):
@@ -1044,6 +1046,62 @@ class UserDataset(TripletDataset):
         elif getattr(self, "neg_count", None):
             batch = self._get_neg_batch(batch, rng)
         return batch
+
+    def device_epoch_arrays(self):
+        """Compact scan-epoch staging (see SeqDataset.device_epoch_arrays):
+        user histories are CONTIGUOUS runs of the user/time-sorted
+        inter_feat, so the [B, width] history/target windows are per-row
+        dynamic_slice reads of padded raw columns — the host-expanded
+        [n_users, max_hist] staging is max_hist× the raw split."""
+        import jax.numpy as jnp
+
+        Win, Wtgt = self._in_width(), self._eval_target_width()
+        pad = max(Win, Wtgt)
+        fuid, fiid = self.fuid, self.fiid
+        compact = {"_rows": self.data_index.astype(np.int32)}
+        col = self.inter_feat.get_col(fiid).astype(np.int32)
+        compact["_fiid"] = np.concatenate([col, np.zeros(pad, np.int32)])
+        for r in self._rating_fields():
+            rcol = self.inter_feat.get_col(r).astype(np.float32)
+            compact["_rat_" + r] = np.concatenate(
+                [rcol, np.zeros(pad, np.float32)])
+        if self.user_feat is not None:
+            for f in self._fields_of(self.user_feat):
+                if f != fuid:
+                    compact["_user_" + f] = self.user_feat.get_col(f)
+        if self.item_feat is not None:
+            for f in self._fields_of(self.item_feat):
+                if f != fiid:
+                    compact["_item_" + f] = self.item_feat.get_col(f)
+
+        def batch_fn(arrays, sel):
+            import jax
+            rows = arrays["_rows"].at[sel].get(mode="promise_in_bounds")
+            batch = {fuid: rows[:, 0]}
+            for k, v in arrays.items():
+                if k.startswith("_user_"):
+                    batch[k[6:]] = v.at[rows[:, 0]].get(mode="promise_in_bounds")
+            for prefix, (cs, ce), width in [("in_", (1, 2), Win),
+                                            ("", (4, 5), Wtgt)]:
+                starts, ends = rows[:, cs], rows[:, ce]
+                valid = (starts[:, None] + jnp.arange(
+                    width, dtype=starts.dtype)[None, :]) < ends[:, None]
+                window = jax.vmap(
+                    lambda c, s: jax.lax.dynamic_slice(c, (s,), (width,)),
+                    in_axes=(None, 0))
+                iid_win = jnp.where(valid, window(arrays["_fiid"], starts), 0) \
+                    .astype(jnp.int32)
+                batch[prefix + fiid] = iid_win
+                for k, v in arrays.items():
+                    if k.startswith("_rat_"):
+                        batch[prefix + k[5:]] = jnp.where(
+                            valid, window(v, starts), 0).astype(jnp.float32)
+                    elif k.startswith("_item_"):
+                        got = v.at[iid_win].get(mode="promise_in_bounds")
+                        batch[prefix + k[6:]] = jnp.where(valid, got, 0)
+            return batch
+
+        return compact, batch_fn
 
     @property
     def inter_feat_subset(self):

@@ -456,13 +456,17 @@ class Recommender:
         bs = int(self.config["train"]["batch_size"])
         arrays_host = {k: np.asarray(v) for k, v in arrays_host.items()}
         row_bytes = max(sum(v.nbytes for v in arrays_host.values()) // max(n, 1), 1)
-        batches_per_chunk = max(int(self._device_data_budget() // (row_bytes * bs)), 1)
+        # half the budget per chunk: the epoch double-buffers (chunk c+1 is
+        # gathered + transferred while the device crunches chunk c)
+        batches_per_chunk = max(
+            int(self._device_data_budget() // 2 // (row_bytes * bs)), 1)
         chunk_rows = batches_per_chunk * bs
         n_chunks = -(-n // chunk_rows)
         shuffle = bool(self.config["data"].get("shuffle", True))
         self.logger.info(
             f"train split ({n} rows, {row_bytes * n / 2**30:.2f} GiB) exceeds "
-            f"device budget — streaming {n_chunks} chunks of {chunk_rows} rows")
+            f"device budget — streaming {n_chunks} chunks of {chunk_rows} rows"
+            f" (double-buffered)")
 
         def chunk_fn(params, opt_state, rng, chunk, states):
             def body(carry, sel):
@@ -485,12 +489,21 @@ class Recommender:
             pad = n_chunks * chunk_rows - n
             if pad:
                 perm = np.concatenate([perm, perm[:pad]])
-            total = jnp.zeros((), jnp.float32)
-            for c in range(n_chunks):
+
+            def stage(c):
                 sel = perm[c * chunk_rows:(c + 1) * chunk_rows]
-                chunk = {k: jnp.asarray(v[sel]) for k, v in arrays_host.items()}
+                return {k: jax.device_put(v[sel]) for k, v in arrays_host.items()}
+
+            total = jnp.zeros((), jnp.float32)
+            nxt = stage(0)
+            for c in range(n_chunks):
+                chunk, nxt = nxt, None
+                # dispatch is async: stage chunk c+1 (host gather + transfer)
+                # while the device runs chunk c
                 params, opt_state, loss_sum = chunk_step(
                     params, opt_state, jax.random.fold_in(rng, c), chunk, states)
+                if c + 1 < n_chunks:
+                    nxt = stage(c + 1)
                 total = total + loss_sum
             return params, opt_state, total / (n_chunks * batches_per_chunk)
 

@@ -134,3 +134,41 @@ def test_compact_seq_staging_matches_expanded():
     res2 = m2.evaluate(tst2, verbose=False)
     for k in res1:
         assert abs(res1[k] - res2[k]) < 1e-6, (k, res1[k], res2[k])
+
+
+def test_compact_user_staging_matches_expanded():
+    """UserDataset (ae family) compact staging: windows come from per-row
+    dynamic_slice of the user/time-sorted raw columns, bit-identical to the
+    host-expanded [n_users, max_hist] layout."""
+    cls, conf = get_model("MultiVAE")
+    conf["train"].update(epochs=2, batch_size=128, seq_staging="compact")
+    conf["eval"].update(EVAL_CONF)
+    seed_everything(13)
+    ds = cls._get_dataset_class()("ml-100k")
+    trn, val, tst = ds.build(**conf["data"])
+
+    compact, batch_fn = trn.device_epoch_arrays()
+    n = len(trn.data_index)
+    sel = np.arange(0, n, max(n // 53, 1))
+    host = trn._get_pos_batch(sel)
+    import jax.numpy as jnp
+    dev = batch_fn({k: jnp.asarray(v) for k, v in compact.items()},
+                   jnp.asarray(sel))
+    assert set(dev) == set(host)
+    for k in host:
+        np.testing.assert_array_equal(np.asarray(dev[k]), host[k], err_msg=k)
+
+    seed_everything(13)
+    m1 = cls(conf)
+    m1.fit(trn, val, run_mode="light")
+    res1 = m1.evaluate(tst, verbose=False)
+
+    seed_everything(13)
+    ds2 = cls._get_dataset_class()("ml-100k")
+    trn2, val2, tst2 = ds2.build(**conf["data"])
+    trn2.device_epoch_arrays = lambda: None  # force the expanded path
+    m2 = cls(conf)
+    m2.fit(trn2, val2, run_mode="light")
+    res2 = m2.evaluate(tst2, verbose=False)
+    for k in res1:
+        assert abs(res1[k] - res2[k]) < 1e-6, (k, res1[k], res2[k])
