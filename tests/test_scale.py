@@ -87,20 +87,30 @@ def test_synthetic_generator_end_to_end(tmp_path):
     assert np.isfinite(res["ndcg@10"])
 
 
-def test_compact_seq_staging_matches_expanded():
+def test_compact_seq_staging_matches_expanded(tmp_path):
     """Sequence datasets stage RAW columns + data_index for the scan epoch
     and expand each batch's [L] window on device — the host-expanded
     [n, L] tensor is L× the raw split (minutes of transfer at 1M+
-    interactions). Metrics must be bit-identical to the expanded path."""
-    from recstudio_tpu.data import SeqDataset
+    interactions). Metrics must be bit-identical to the expanded path.
+
+    Runs on a small synthetic dataset with a 1-layer SASRec: the parity
+    claim is about the staging machinery, not the model size, and the
+    full-size double-fit made this single test a third of the fast tier."""
+    from recstudio_tpu.data.synthetic import generate
 
     cls, conf = get_model("SASRec")
-    # ml-100k's expanded windows are tiny, so auto would pick expanded —
-    # force compact to exercise the on-device expansion end to end
+    name, dconf = generate("staging-synth", n_users=200, n_items=127,
+                           n_inters=5000, out_dir=str(tmp_path), seed=11,
+                           max_user_inters=60)
+    dconf["save_cache"] = False
+    dconf["max_seq_len"] = 12
+    conf["model"].update(embed_dim=16, layer_num=1, head_num=1)
+    # tiny expanded windows would make auto pick expanded — force compact
+    # to exercise the on-device expansion end to end
     conf["train"].update(epochs=2, batch_size=256, seq_staging="compact")
     conf["eval"].update(EVAL_CONF)
     seed_everything(7)
-    ds = cls._get_dataset_class()("ml-100k")
+    ds = cls._get_dataset_class()(name, config=dconf)
     trn, val, tst = ds.build(**conf["data"])
 
     compact, batch_fn = trn.device_epoch_arrays()
@@ -108,7 +118,7 @@ def test_compact_seq_staging_matches_expanded():
     compact_bytes = sum(np.asarray(v).nbytes for v in compact.values())
     expanded_bytes = sum(np.asarray(v).nbytes
                          for v in trn._get_pos_batch(np.arange(n)).values())
-    assert compact_bytes < expanded_bytes / 5, (compact_bytes, expanded_bytes)
+    assert compact_bytes < expanded_bytes / 3, (compact_bytes, expanded_bytes)
 
     # the on-device batch_fn reproduces _get_pos_batch exactly
     sel = np.arange(0, n, max(n // 97, 1))
@@ -126,7 +136,7 @@ def test_compact_seq_staging_matches_expanded():
     res1 = m1.evaluate(tst, verbose=False)
 
     seed_everything(7)
-    ds2 = cls._get_dataset_class()("ml-100k")
+    ds2 = cls._get_dataset_class()(name, config=dconf)
     trn2, val2, tst2 = ds2.build(**conf["data"])
     trn2.device_epoch_arrays = lambda: None  # force the expanded path
     m2 = cls(conf)
@@ -136,15 +146,22 @@ def test_compact_seq_staging_matches_expanded():
         assert abs(res1[k] - res2[k]) < 1e-6, (k, res1[k], res2[k])
 
 
-def test_compact_user_staging_matches_expanded():
+def test_compact_user_staging_matches_expanded(tmp_path):
     """UserDataset (ae family) compact staging: windows come from per-row
     dynamic_slice of the user/time-sorted raw columns, bit-identical to the
     host-expanded [n_users, max_hist] layout."""
+    from recstudio_tpu.data.synthetic import generate
+
     cls, conf = get_model("MultiVAE")
+    name, dconf = generate("staging-synth-ae", n_users=200, n_items=127,
+                           n_inters=5000, out_dir=str(tmp_path), seed=11,
+                           max_user_inters=60)
+    dconf["save_cache"] = False
+    conf["model"].update(embed_dim=32, encoder_dims=[16], decoder_dims=[16])
     conf["train"].update(epochs=2, batch_size=128, seq_staging="compact")
     conf["eval"].update(EVAL_CONF)
     seed_everything(13)
-    ds = cls._get_dataset_class()("ml-100k")
+    ds = cls._get_dataset_class()(name, config=dconf)
     trn, val, tst = ds.build(**conf["data"])
 
     compact, batch_fn = trn.device_epoch_arrays()
@@ -164,7 +181,7 @@ def test_compact_user_staging_matches_expanded():
     res1 = m1.evaluate(tst, verbose=False)
 
     seed_everything(13)
-    ds2 = cls._get_dataset_class()("ml-100k")
+    ds2 = cls._get_dataset_class()(name, config=dconf)
     trn2, val2, tst2 = ds2.build(**conf["data"])
     trn2.device_epoch_arrays = lambda: None  # force the expanded path
     m2 = cls(conf)
