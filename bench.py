@@ -115,6 +115,18 @@ def _run_section(section: str) -> dict:
         return {"BPR eval qps (full catalog)": round(qps, 1),
                 "BPR eval recall@20": round(r20, 4),
                 "eval qps vs_baseline": round(qps / BASELINE_EVAL_QPS, 3)}
+    if section == "scale":
+        # beyond ml-100k: full ETL+train+eval at ml-1m shape (1M inters,
+        # synthetic per data/synthetic.py; reference handles this size by
+        # DataLoader streaming, reference data/dataset.py:1687-1734)
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from scale_bench import run_scale
+        rec = run_scale("ml-1m-shape", epochs_timed=1 if SMOKE else 5)
+        return {"BPR@1M-inters examples/s": rec["value"],
+                "BPR@1M-inters eval qps": rec["eval_qps"],
+                "BPR@1M-inters recall@20": rec["recall@20"],
+                "BPR@1M-inters etl_s": rec["etl_s"]}
     raise SystemExit(f"unknown section {section}")
 
 
@@ -128,7 +140,7 @@ def main():
     results = {}
     for section, budget in [("bpr", 2400), ("sasrec", 1500),
                             ("lightgcn", 1500), ("deepfm", 1500),
-                            ("eval", 1500)]:
+                            ("eval", 1500), ("scale", 1500)]:
         try:
             proc = subprocess.run(
                 [sys.executable, __file__, "--section", section],
@@ -146,7 +158,7 @@ def main():
 
     bpr = results.pop("bpr", None)
     extra.update(results)
-    for name in ("SASRec", "LightGCN", "DeepFM"):
+    for name in ("SASRec", "LightGCN", "DeepFM", "BPR@1M-inters"):
         if f"{name} examples/s" in extra:
             extra[f"{name} vs_baseline"] = round(
                 extra[f"{name} examples/s"] / BASELINE_EXAMPLES_PER_S, 3)
