@@ -20,14 +20,34 @@ class LightGCN(BaseGraphRetriever):
     def _get_dataset_class():
         return TripletDataset
 
+    def _init_model(self, train_data, drop_unused_field: bool = True):
+        super()._init_model(train_data, drop_unused_field)
+        # LightGCN is entirely linear in the embeddings, so the layer-mean
+        # readout mean_{l=0..L} A^l E is one matmul with the precomputed
+        # operator M = (I + A + ... + A^L)/(L+1). Replaces L [N,N]@[N,D]
+        # matmuls per training step (fwd AND bwd) with one each; computed
+        # once per graph on device (the reference re-propagates layer by
+        # layer every forward, recstudio/model/graph/lightgcn.py:53-66).
+        self._prop_m = None
+        if self._adj is not None:
+            n_layers = self.config["model"]["n_layers"]
+            power = acc = jnp.eye(self._num_nodes, dtype=jnp.float32)
+            for _ in range(n_layers):
+                power = self._adj @ power
+                acc = acc + power
+            self._prop_m = jax.block_until_ready(acc / (n_layers + 1))
+
     def propagate(self, params):
         emb = jnp.concatenate([params["user_embedding"], params["item_embedding"]])
-        layers = [emb]
-        x = emb
-        for _ in range(self.config["model"]["n_layers"]):
-            x = self._gcn_layer(x)
-            layers.append(x)
-        out = jnp.mean(jnp.stack(layers, axis=0), axis=0)
+        if self._prop_m is not None:
+            out = self._prop_m @ emb
+        else:  # edge-list segment-sum path for graphs past the dense budget
+            layers = [emb]
+            x = emb
+            for _ in range(self.config["model"]["n_layers"]):
+                x = self._gcn_layer(x)
+                layers.append(x)
+            out = jnp.mean(jnp.stack(layers, axis=0), axis=0)
         return out[: self.num_users], out[self.num_users:]
 
     def training_step(self, params, batch, rng, states):

@@ -62,3 +62,24 @@ def test_registry_lists_models():
     models = list_models()
     for m in ("bpr", "pmf", "ease", "wrmf"):
         assert m in models
+
+
+def test_lightgcn_collapsed_propagation_matches_layer_loop(ml100k_splits):
+    """LightGCN's precomputed M = mean_l A^l operator is an exact algebraic
+    rewrite of the per-layer propagation loop (the model is linear)."""
+    from recstudio_tpu.utils import get_model, seed_everything
+
+    seed_everything(7)
+    cls, conf = get_model("LightGCN")
+    trn = ml100k_splits[0]
+    m = cls(conf)
+    m._init_model(trn)
+    m._init_parameter(trn)
+    assert m._prop_m is not None, "ml-100k graph should fit the dense budget"
+    u_fast, i_fast = m.propagate(m.params)
+    m._prop_m = None  # force the original layer-by-layer path
+    u_loop, i_loop = m.propagate(m.params)
+    np.testing.assert_allclose(np.asarray(u_fast), np.asarray(u_loop),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(i_fast), np.asarray(i_loop),
+                               rtol=2e-4, atol=2e-5)
