@@ -127,6 +127,25 @@ def _run_section(section: str) -> dict:
                 "BPR@1M-inters eval qps": rec["eval_qps"],
                 "BPR@1M-inters recall@20": rec["recall@20"],
                 "BPR@1M-inters etl_s": rec["etl_s"]}
+    if section == "seq_scale":
+        # transformer at production shape: SASRec L=200 d=128 on the
+        # 1M-interaction catalog (fused Pallas transformer layer, compact
+        # device staging — BASELINE.md §Scale)
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        import scale_bench
+        if SMOKE:
+            from recstudio_tpu.data import synthetic
+            synthetic.SHAPES["smoke-shape"] = (200, 300, 20_000)
+            rec = scale_bench.run_scale_seq("smoke-shape", max_seq_len=16,
+                                            embed_dim=32, epochs_timed=1)
+        else:
+            rec = scale_bench.run_scale_seq("ml-1m-shape", epochs_timed=3)
+        return {"SASRec@1M/L200/d128 examples/s": rec["value"],
+                "SASRec@1M/L200/d128 tokens/s": round(
+                    rec["value"] * rec["seq_len"], 1),
+                "SASRec@1M/L200 eval qps": rec["eval_qps"],
+                "SASRec@1M/L200 recall@20": rec["recall@20"]}
     raise SystemExit(f"unknown section {section}")
 
 
@@ -140,7 +159,8 @@ def main():
     results = {}
     for section, budget in [("bpr", 2400), ("sasrec", 1500),
                             ("lightgcn", 1500), ("deepfm", 1500),
-                            ("eval", 1500), ("scale", 1500)]:
+                            ("eval", 1500), ("scale", 1500),
+                            ("seq_scale", 1500)]:
         try:
             proc = subprocess.run(
                 [sys.executable, __file__, "--section", section],
@@ -158,7 +178,8 @@ def main():
 
     bpr = results.pop("bpr", None)
     extra.update(results)
-    for name in ("SASRec", "LightGCN", "DeepFM", "BPR@1M-inters"):
+    for name in ("SASRec", "LightGCN", "DeepFM", "BPR@1M-inters",
+                 "SASRec@1M/L200/d128"):
         if f"{name} examples/s" in extra:
             extra[f"{name} vs_baseline"] = round(
                 extra[f"{name} examples/s"] / BASELINE_EXAMPLES_PER_S, 3)
