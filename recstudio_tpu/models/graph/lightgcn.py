@@ -35,12 +35,19 @@ class LightGCN(BaseGraphRetriever):
             for _ in range(n_layers):
                 power = self._adj @ power
                 acc = acc + power
-            self._prop_m = jax.block_until_ready(acc / (n_layers + 1))
+            m = acc / (n_layers + 1)
+            # the step is HBM-bound on reading M ([N,N] f32, fwd + bwd);
+            # model.prop_dtype: bf16 halves that traffic — only M's entries
+            # are quantized, embeddings stay f32 and products accumulate f32
+            if str(self.config["model"].get("prop_dtype", "fp32")).lower() \
+                    in ("bf16", "bfloat16"):
+                m = m.astype(jnp.bfloat16)
+            self._prop_m = jax.block_until_ready(m)
 
     def propagate(self, params):
         emb = jnp.concatenate([params["user_embedding"], params["item_embedding"]])
         if self._prop_m is not None:
-            out = self._prop_m @ emb
+            out = jnp.asarray(self._prop_m @ emb, dtype=emb.dtype)
         else:  # edge-list segment-sum path for graphs past the dense budget
             layers = [emb]
             x = emb
