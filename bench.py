@@ -141,11 +141,18 @@ def _run_section(section: str) -> dict:
                                             embed_dim=32, epochs_timed=1)
         else:
             rec = scale_bench.run_scale_seq("ml-1m-shape", epochs_timed=3)
-        return {"SASRec@1M/L200/d128 examples/s": rec["value"],
-                "SASRec@1M/L200/d128 tokens/s": round(
+        # key prefix derived from the MEASURED shape so smoke runs (tiny
+        # L/d/catalog) never report under the production-shape label, and
+        # all four keys share one consistent prefix
+        n = rec["n_inters"]
+        scale = (f"{n // 1_000_000}M" if n % 1_000_000 == 0
+                 else f"{n // 1000}k")
+        prefix = f"SASRec@{scale}/L{rec['seq_len']}/d{rec['embed_dim']}"
+        return {f"{prefix} examples/s": rec["value"],
+                f"{prefix} tokens/s": round(
                     rec["value"] * rec["seq_len"], 1),
-                "SASRec@1M/L200 eval qps": rec["eval_qps"],
-                "SASRec@1M/L200 recall@20": rec["recall@20"]}
+                f"{prefix} eval qps": rec["eval_qps"],
+                f"{prefix} recall@20": rec["recall@20"]}
     raise SystemExit(f"unknown section {section}")
 
 

@@ -14,7 +14,24 @@ from ..loss_func import l2_reg_loss_fn
 from .base import BaseGraphRetriever
 
 
+def _mean_walk_operator(adj: jax.Array, n_layers: int, out_dtype) -> jax.Array:
+    """M = (I + A + ... + A^L) / (L+1), computed on device under jit so the
+    power/accumulator temporaries are XLA-managed (buffer reuse keeps the
+    transient footprint ~2 extra [N,N] matrices, not 4)."""
+    power = acc = jnp.eye(adj.shape[0], dtype=adj.dtype)
+    for _ in range(n_layers):
+        power = adj @ power
+        acc = acc + power
+    return (acc / (n_layers + 1)).astype(out_dtype)
+
+
 class LightGCN(BaseGraphRetriever):
+
+    # Subclasses whose OTHER paths (beyond ``propagate``) read the dense
+    # per-layer adjacency set this True to keep ``_adj`` and skip the
+    # collapsed operator — at most ONE [N,N] matrix is ever resident per
+    # model, which is what ``_DENSE_ADJ_BYTES`` is sized for.
+    _needs_layer_graph = False
 
     @staticmethod
     def _get_dataset_class():
@@ -28,27 +45,32 @@ class LightGCN(BaseGraphRetriever):
         # matmuls per training step (fwd AND bwd) with one each; computed
         # once per graph on device (the reference re-propagates layer by
         # layer every forward, recstudio/model/graph/lightgcn.py:53-66).
+        # Skipped when the subclass overrides ``propagate`` (NCL's per-layer
+        # readout never uses M) or declares ``_needs_layer_graph``.
         self._prop_m = None
-        if self._adj is not None:
-            n_layers = self.config["model"]["n_layers"]
-            power = acc = jnp.eye(self._num_nodes, dtype=jnp.float32)
-            for _ in range(n_layers):
-                power = self._adj @ power
-                acc = acc + power
-            m = acc / (n_layers + 1)
+        collapse = (type(self).propagate is LightGCN.propagate
+                    and not self._needs_layer_graph)
+        if self._adj is not None and collapse:
             # the step is HBM-bound on reading M ([N,N] f32, fwd + bwd);
             # model.prop_dtype: bf16 halves that traffic — only M's entries
             # are quantized, embeddings stay f32 and products accumulate f32
-            if str(self.config["model"].get("prop_dtype", "fp32")).lower() \
-                    in ("bf16", "bfloat16"):
-                m = m.astype(jnp.bfloat16)
-            self._prop_m = jax.block_until_ready(m)
+            bf16 = str(self.config["model"].get("prop_dtype", "fp32")) \
+                .lower() in ("bf16", "bfloat16")
+            self._prop_m = jax.block_until_ready(jax.jit(
+                _mean_walk_operator, static_argnums=(1, 2))(
+                    self._adj, self.config["model"]["n_layers"],
+                    jnp.bfloat16 if bf16 else jnp.float32))
+            self._adj = None  # M subsumes the dense adjacency — free it
 
     def propagate(self, params):
         emb = jnp.concatenate([params["user_embedding"], params["item_embedding"]])
         if self._prop_m is not None:
             out = jnp.asarray(self._prop_m @ emb, dtype=emb.dtype)
-        else:  # edge-list segment-sum path for graphs past the dense budget
+        else:
+            # per-layer loop: dense-adj matmuls when _adj is resident
+            # (subclasses that keep the layer graph), else the edge-list
+            # segment-sum kernel (graphs past the dense budget, and LightGCN
+            # proper once _adj has been folded into M)
             layers = [emb]
             x = emb
             for _ in range(self.config["model"]["n_layers"]):

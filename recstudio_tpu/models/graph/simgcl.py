@@ -19,6 +19,11 @@ from .lightgcn import LightGCN
 
 class SimGCL(LightGCN):
 
+    # the perturbed CL views propagate layer-by-layer via _gcn_layer, so the
+    # dense adjacency must stay resident; LightGCN._init_model therefore
+    # skips the collapsed-M precompute (one [N,N] matrix, not two)
+    _needs_layer_graph = True
+
     @staticmethod
     def _get_dataset_class():
         return TripletDataset

@@ -4,6 +4,7 @@ Modeled on the reference's de-facto regression suite
 (reference test/test_training_pipeline.py:31-66) but with real assertions:
 training must produce finite metrics and a usable topk.
 """
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -66,7 +67,9 @@ def test_registry_lists_models():
 
 def test_lightgcn_collapsed_propagation_matches_layer_loop(ml100k_splits):
     """LightGCN's precomputed M = mean_l A^l operator is an exact algebraic
-    rewrite of the per-layer propagation loop (the model is linear)."""
+    rewrite of the per-layer propagation loop (the model is linear). With
+    _adj folded into M at init, forcing _prop_m off exercises the edge-list
+    segment-sum kernel — the path large graphs take."""
     from recstudio_tpu.utils import get_model, seed_everything
 
     seed_everything(7)
@@ -76,10 +79,34 @@ def test_lightgcn_collapsed_propagation_matches_layer_loop(ml100k_splits):
     m._init_model(trn)
     m._init_parameter(trn)
     assert m._prop_m is not None, "ml-100k graph should fit the dense budget"
+    assert m._adj is None, "dense adjacency should be freed once M is built"
     u_fast, i_fast = m.propagate(m.params)
-    m._prop_m = None  # force the original layer-by-layer path
+    m._prop_m = None  # force the per-layer loop (edge-list segment-sum here)
     u_loop, i_loop = m.propagate(m.params)
     np.testing.assert_allclose(np.asarray(u_fast), np.asarray(u_loop),
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(i_fast), np.asarray(i_loop),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_lightgcn_bf16_propagation_close_to_fp32(ml100k_splits):
+    """model.prop_dtype: bf16 quantizes only M's entries (embeddings and the
+    matmul accumulation stay f32): the propagated embeddings must track the
+    fp32 operator within bf16 quantization error."""
+    from recstudio_tpu.utils import get_model, seed_everything
+
+    trn = ml100k_splits[0]
+    outs = {}
+    for dtype in ("fp32", "bf16"):
+        seed_everything(7)
+        cls, conf = get_model("LightGCN")
+        conf["model"]["prop_dtype"] = dtype
+        m = cls(conf)
+        m._init_model(trn)
+        m._init_parameter(trn)
+        outs[dtype] = m.propagate(m.params)
+    assert m._prop_m.dtype == jnp.bfloat16
+    for a, b in zip(outs["fp32"], outs["bf16"]):
+        a, b = np.asarray(a), np.asarray(b)
+        # bf16 has ~8 mantissa bits: allow ~1% relative / small absolute slack
+        np.testing.assert_allclose(a, b, rtol=2e-2, atol=1e-4)
