@@ -108,7 +108,9 @@ def measure_reference(model_name: str, batch: int | None, embed_dim: int | None,
     # mirror fit() up to fit_loop (reference recommender.py:84-156), minus
     # tensorboard/callback which the training hot loop never touches
     model.logger = logging.getLogger("recstudio")
-    model.run_mode = "tune"  # mutes tqdm in training_epoch (recommender.py:592)
+    # NOT 'tune': _accelerate forces cuda under tune (recommender.py:718-720);
+    # tqdm never runs here anyway — the timed loop below is tqdm-free
+    model.run_mode = "light"
     model._init_model(trn)
     model._init_parameter()
     model.val_check = False

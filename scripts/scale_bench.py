@@ -137,6 +137,8 @@ def run_scale_seq(shape_name: str, max_seq_len: int = 200,
         "n_inters": n_inters,
         "seq_len": max_seq_len,
         "embed_dim": embed_dim,
+        "hidden_size": conf["model"]["hidden_size"],
+        "layer_num": conf["model"]["layer_num"],
         "etl_s": round(t_etl, 1),
         "compile_s": round(t_compile, 1),
         "epoch_s": round(dt / epochs_timed, 3),
