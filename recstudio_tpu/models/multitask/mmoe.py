@@ -1,6 +1,14 @@
 """MMoE: multi-gate mixture-of-experts multi-task ranker.
 
 Reference: recstudio/model/multitask/mmoe.py:18.
+
+TPU design: the expert bank is ONE vmapped MLP whose parameters carry a
+leading expert axis ([E, in, out] kernels) instead of E separate modules.
+Besides executing as batched matmuls on the MXU (one [B, E*De]-shaped
+einsum rather than E thin ones), this makes the experts shardable: under a
+``train.mesh`` the engine row-shards any ``experts`` parameter bank over
+the model axis (parallel/mesh.py) — expert parallelism, with GSPMD turning
+the mixture-sum over experts into a psum across shards.
 """
 import flax.linen as nn
 import jax
@@ -32,12 +40,16 @@ class MMoENet(nn.Module):
     def __call__(self, batch, training: bool = False):
         emb = Embeddings(self.field_specs, self.embed_dim, name="embedding")(batch)
         x = emb.reshape(emb.shape[0], -1)
-        experts = jnp.stack([
-            MLPModule([x.shape[-1], *self.expert_mlp_layer],
-                      activation_func=self.expert_activation,
-                      dropout=self.expert_dropout, name=f"expert_{e}")(
-                x, training=training)
-            for e in range(self.num_experts)], axis=1)         # [B, E, De]
+        bank = nn.vmap(
+            MLPModule,
+            in_axes=None, out_axes=1,            # x broadcast; [B, E, De] out
+            variable_axes={"params": 0},         # leading expert axis
+            split_rngs={"params": True, "dropout": True},
+            axis_size=self.num_experts,
+        )([x.shape[-1], *self.expert_mlp_layer],
+          activation_func=self.expert_activation,
+          dropout=self.expert_dropout, name="experts")
+        experts = bank(x, training=training)                   # [B, E, De]
         out = {}
         for r in self.ratings:
             gate = MLPModule([x.shape[-1], *self.gate_mlp_layer, self.num_experts],

@@ -54,8 +54,32 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _mm_bf16_default() -> bool:
+    """Honor ``train.precision: bf16`` (recommender.py sets
+    jax_default_matmul_precision) inside the kernels too, for semantic
+    consistency with the XLA path. Measured NON-lever on v5e at both L=20
+    (overhead-bound) and L=200/d=128 (12.7 ms/step f32 vs 13.3 ms with
+    casts, scripts/ftl_bench.py): precision=DEFAULT dots already ride the
+    MXU's one-pass bf16 datapath for f32 operands, so the explicit casts
+    only add VPU work. Kept because a user asking for bf16 should get bf16
+    numerics (parity-tested in tests/test_ops.py)."""
+    return str(jax.config.jax_default_matmul_precision).lower() in (
+        "bfloat16", "bf16")
+
+
+def _dot(a: jax.Array, b: jax.Array, mm_bf16: bool) -> jax.Array:
+    """MXU matmul with f32 accumulation; optionally one-pass bf16 inputs."""
+    if mm_bf16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
 def supports_fused_layer(d_model: int, seq_len: int, n_head: int,
                          dim_feedforward: int, activation: str) -> bool:
+    import os
+    if os.environ.get("RECSTUDIO_NO_FUSED_TL"):  # A/B: force the XLA path
+        return False
     if d_model % n_head:
         return False
     if activation not in ("gelu", "relu"):
@@ -182,7 +206,8 @@ def _cell_rng(seed_ref, p, training):
     return _DropRng(seed_ref[0, 0] + pl.program_id(0) * jnp.int32(-1640531527))
 
 
-def _attention(qkv, mask, padrow, D, H, Lg, p, training, rng=None):
+def _attention(qkv, mask, padrow, D, H, Lg, p, training, rng=None,
+               mm=False):
     """Grouped packed per-head attention over [Lg, Lg] score blocks.
 
     ``mask`` is the [Lg, Lg] additive block-diagonal (+ user) mask shared by
@@ -202,16 +227,14 @@ def _attention(qkv, mask, padrow, D, H, Lg, p, training, rng=None):
         rows, hres = [], []
         for g in range(M // Lg):
             sl = slice(g * Lg, (g + 1) * Lg)
-            s = jnp.dot(q[sl], k[sl].T,
-                        preferred_element_type=jnp.float32) * scale
+            s = _dot(q[sl], k[sl].T, mm) * scale
             s = jnp.maximum(s + mask + padrow[8 * g:8 * g + 1, :], NEG)
             m = s.max(-1, keepdims=True)
             e = jnp.exp(s - m)
             P = e / e.sum(-1, keepdims=True)
             keep = rng.keep(P.shape, p) if rng is not None else None
             Pd = P * keep if keep is not None else P
-            rows.append(jnp.dot(Pd, v[sl],
-                                preferred_element_type=jnp.float32))
+            rows.append(_dot(Pd, v[sl], mm))
             hres.append((P, keep))
         heads.append(jnp.concatenate(rows, axis=0) if len(rows) > 1
                      else rows[0])
@@ -222,22 +245,22 @@ def _attention(qkv, mask, padrow, D, H, Lg, p, training, rng=None):
 def _fwd_kernel(seed_ref, x_ref, mask_ref, padrow_ref,
                 wqkv_ref, bqkv_ref, wo_ref, bo_ref, n1s_ref, n1b_ref,
                 w1_ref, b1_ref, w2_ref, b2_ref, n2s_ref, n2b_ref,
-                out_ref, *, H, Lg, p, training, act, eps):
+                out_ref, *, H, Lg, p, training, act, eps, mm):
     rng = _cell_rng(seed_ref, p, training)
     x = x_ref[:].astype(jnp.float32)                       # [M, D]
     D = x.shape[-1]
-    qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv_ref[:]
+    qkv = _dot(x, wqkv_ref[:], mm) + bqkv_ref[:]
     A, _ = _attention(qkv, mask_ref[:], padrow_ref[0], D, H, Lg, p,
-                      training, rng)
-    o = jnp.dot(A, wo_ref[:], preferred_element_type=jnp.float32) + bo_ref[:]
+                      training, rng, mm)
+    o = _dot(A, wo_ref[:], mm) + bo_ref[:]
     if training and p > 0:
         o = o * rng.keep(o.shape, p)
     x1, _, _ = _ln_fwd(x + o, n1s_ref[:], n1b_ref[:], eps)
-    hpre = jnp.dot(x1, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
+    hpre = _dot(x1, w1_ref[:], mm) + b1_ref[:]
     hact = _act_fn(act)(hpre)
     if training and p > 0:
         hact = hact * rng.keep(hact.shape, p)
-    f = jnp.dot(hact, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+    f = _dot(hact, w2_ref[:], mm) + b2_ref[:]
     if training and p > 0:
         f = f * rng.keep(f.shape, p)
     out, _, _ = _ln_fwd(x1 + f, n2s_ref[:], n2b_ref[:], eps)
@@ -249,25 +272,25 @@ def _bwd_kernel(seed_ref, x_ref, mask_ref, padrow_ref,
                 w1_ref, b1_ref, w2_ref, b2_ref, n2s_ref, n2b_ref, g_ref,
                 dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref,
                 dn1s_ref, dn1b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-                dn2s_ref, dn2b_ref, *, H, Lg, p, training, act, eps):
+                dn2s_ref, dn2b_ref, *, H, Lg, p, training, act, eps, mm):
     rng = _cell_rng(seed_ref, p, training)
     x = x_ref[:].astype(jnp.float32)
     D = x.shape[-1]
     drop = training and p > 0
 
     # ---- recompute forward (same PRNG stream order as _fwd_kernel) ----
-    qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv_ref[:]
+    qkv = _dot(x, wqkv_ref[:], mm) + bqkv_ref[:]
     A, resid = _attention(qkv, mask_ref[:], padrow_ref[0], D, H, Lg, p,
-                          training, rng)
-    o_pre = jnp.dot(A, wo_ref[:], preferred_element_type=jnp.float32) + bo_ref[:]
+                          training, rng, mm)
+    o_pre = _dot(A, wo_ref[:], mm) + bo_ref[:]
     keep_o = rng.keep(o_pre.shape, p) if drop else None
     o = o_pre * keep_o if drop else o_pre
     x1, xhat1, inv1 = _ln_fwd(x + o, n1s_ref[:], n1b_ref[:], eps)
-    hpre = jnp.dot(x1, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
+    hpre = _dot(x1, w1_ref[:], mm) + b1_ref[:]
     hact = _act_fn(act)(hpre)
     keep_h = rng.keep(hact.shape, p) if drop else None
     hd = hact * keep_h if drop else hact
-    f_pre = jnp.dot(hd, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+    f_pre = _dot(hd, w2_ref[:], mm) + b2_ref[:]
     keep_f = rng.keep(f_pre.shape, p) if drop else None
     f = f_pre * keep_f if drop else f_pre
     _, xhat2, inv2 = _ln_fwd(x1 + f, n2s_ref[:], n2b_ref[:], eps)
@@ -279,21 +302,21 @@ def _bwd_kernel(seed_ref, x_ref, mask_ref, padrow_ref,
     dr2 = _ln_bwd(g, xhat2, inv2, n2s_ref[:])
     dx1 = dr2
     df = dr2 * keep_f if drop else dr2
-    dw2 = jnp.dot(hd.T, df, preferred_element_type=jnp.float32)
+    dw2 = _dot(hd.T, df, mm)
     db2 = jnp.sum(df, 0, keepdims=True)
-    dhd = jnp.dot(df, w2_ref[:].T, preferred_element_type=jnp.float32)
+    dhd = _dot(df, w2_ref[:].T, mm)
     dhact = dhd * keep_h if drop else dhd
     dhpre = dhact * _act_grad(act, hpre)
-    dw1 = jnp.dot(x1.T, dhpre, preferred_element_type=jnp.float32)
+    dw1 = _dot(x1.T, dhpre, mm)
     db1 = jnp.sum(dhpre, 0, keepdims=True)
-    dx1 = dx1 + jnp.dot(dhpre, w1_ref[:].T, preferred_element_type=jnp.float32)
+    dx1 = dx1 + _dot(dhpre, w1_ref[:].T, mm)
     dn1s = jnp.sum(dx1 * xhat1, 0, keepdims=True)
     dn1b = jnp.sum(dx1, 0, keepdims=True)
     dr1 = _ln_bwd(dx1, xhat1, inv1, n1s_ref[:])
     do = dr1 * keep_o if drop else dr1
-    dwo = jnp.dot(A.T, do, preferred_element_type=jnp.float32)
+    dwo = _dot(A.T, do, mm)
     dbo = jnp.sum(do, 0, keepdims=True)
-    dA = jnp.dot(do, wo_ref[:].T, preferred_element_type=jnp.float32)
+    dA = _dot(do, wo_ref[:].T, mm)
 
     M = x.shape[0]
     Dh = D // H
@@ -308,25 +331,22 @@ def _bwd_kernel(seed_ref, x_ref, mask_ref, padrow_ref,
             P, keep = hres[g]
             dAg = dAh[sl]
             Pd = P * keep if keep is not None else P
-            dv_rows.append(jnp.dot(Pd.T, dAg,
-                                   preferred_element_type=jnp.float32))
-            dP = jnp.dot(dAg, v[sl].T, preferred_element_type=jnp.float32)
+            dv_rows.append(_dot(Pd.T, dAg, mm))
+            dP = _dot(dAg, v[sl].T, mm)
             if keep is not None:
                 dP = dP * keep
             dS = P * (dP - jnp.sum(dP * P, -1, keepdims=True))
-            dq_rows.append(jnp.dot(dS, k[sl],
-                                   preferred_element_type=jnp.float32) * scale)
-            dk_rows.append(jnp.dot(dS.T, q[sl],
-                                   preferred_element_type=jnp.float32) * scale)
+            dq_rows.append(_dot(dS, k[sl], mm) * scale)
+            dk_rows.append(_dot(dS.T, q[sl], mm) * scale)
         cat = (lambda rows: jnp.concatenate(rows, axis=0)
                if len(rows) > 1 else rows[0])
         dq_heads.append(cat(dq_rows))
         dk_heads.append(cat(dk_rows))
         dv_heads.append(cat(dv_rows))
     dqkv = jnp.concatenate(dq_heads + dk_heads + dv_heads, axis=-1)
-    dwqkv = jnp.dot(x.T, dqkv, preferred_element_type=jnp.float32)
+    dwqkv = _dot(x.T, dqkv, mm)
     dbqkv = jnp.sum(dqkv, 0, keepdims=True)
-    dx = dr1 + jnp.dot(dqkv, wqkv_ref[:].T, preferred_element_type=jnp.float32)
+    dx = dr1 + _dot(dqkv, wqkv_ref[:].T, mm)
     dx_ref[:] = dx.astype(dx_ref.dtype)
 
     # ---- accumulate weight grads across the sequential grid ----
@@ -350,7 +370,8 @@ def _full_spec(shape):
 
 @functools.lru_cache(maxsize=32)
 def _make_fused_layer(TB: int, G: int, L: int, D: int, F: int, H: int,
-                      p: float, training: bool, act: str, eps: float):
+                      p: float, training: bool, act: str, eps: float,
+                      mm: bool):
     """Build the custom-VJP fused layer for one static config."""
     M = TB * L
     Lg = G * L
@@ -374,7 +395,8 @@ def _make_fused_layer(TB: int, G: int, L: int, D: int, F: int, H: int,
                 pl.BlockSpec((1, n_g * 8, Lg), lambda c: (c, 0, 0),
                              memory_space=pltpu.VMEM)]
 
-    kern_kw = dict(H=H, Lg=Lg, p=p, training=training, act=act, eps=eps)
+    kern_kw = dict(H=H, Lg=Lg, p=p, training=training, act=act, eps=eps,
+                   mm=mm)
 
     def fwd(seed, x, mask, padrow, *w):
         n_cells = x.shape[0] // M
@@ -480,7 +502,8 @@ def fused_transformer_layer(
          params["norm2_scale"].reshape(1, -1), params["norm2_bias"].reshape(1, -1))
 
     layer = _make_fused_layer(TB, G, L, D, F, n_head, float(dropout),
-                              bool(training), activation, float(layer_norm_eps))
+                              bool(training), activation,
+                              float(layer_norm_eps), _mm_bf16_default())
     seed2d = jnp.asarray(seed, jnp.int32).reshape(1, 1)
     out = layer(seed2d, xf, mask, padrow, *w)
     return out[:B * L].reshape(B, L, D)

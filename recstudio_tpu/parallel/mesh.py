@@ -29,18 +29,33 @@ def make_mesh(dp: Optional[int] = None, mp: int = 1, devices=None) -> Mesh:
     return Mesh(arr, axis_names=("dp", "mp"))
 
 
+def _path_names(path):
+    return [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+
+
 def _is_embedding_path(path) -> bool:
-    names = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+    names = _path_names(path)
     return bool(names) and "embedding" in names[-1].lower()
 
 
+def _is_expert_bank_path(path) -> bool:
+    # a vmapped expert bank (MMoE: models/multitask/mmoe.py) — every leaf
+    # under the module named exactly 'experts' has a leading expert axis
+    return any(n == "experts" for n in _path_names(path))
+
+
 def param_shardings(params, mesh: Mesh, shard_embeddings: bool = True):
-    """Sharding tree: embedding tables row-sharded over 'mp', rest replicated."""
+    """Sharding tree: embedding tables row-sharded over 'mp', vmapped expert
+    banks expert-sharded over 'mp' (expert parallelism — GSPMD turns the
+    mixture-sum over experts into a psum across shards), rest replicated."""
     def rule(path, leaf):
         # jit input shardings must divide evenly: tables whose row count is
         # not a multiple of mp stay replicated (pad num_embeddings up to a
         # multiple of mp to shard them)
         if shard_embeddings and _is_embedding_path(path) and leaf.ndim >= 2 \
+                and leaf.shape[0] % mesh.shape["mp"] == 0:
+            return NamedSharding(mesh, P("mp", *([None] * (leaf.ndim - 1))))
+        if _is_expert_bank_path(path) and leaf.ndim >= 1 \
                 and leaf.shape[0] % mesh.shape["mp"] == 0:
             return NamedSharding(mesh, P("mp", *([None] * (leaf.ndim - 1))))
         return NamedSharding(mesh, P())

@@ -86,7 +86,8 @@ def run_scale(shape_name: str, chunked: bool = False, epochs_timed: int = 5):
 
 
 def run_scale_seq(shape_name: str, max_seq_len: int = 200,
-                  embed_dim: int = 128, epochs_timed: int = 3):
+                  embed_dim: int = 128, epochs_timed: int = 3,
+                  precision: str = "fp32"):
     """Transformer at scale: SASRec at production-ish shapes (L=200,
     d=128) on a synthetic catalog — exercises the fused transformer layer
     at multi-group attention tiles and the sequence ETL beyond ml-100k."""
@@ -99,7 +100,8 @@ def run_scale_seq(shape_name: str, max_seq_len: int = 200,
 
     model_class, conf = get_model("SASRec")
     conf["model"]["embed_dim"] = embed_dim
-    conf["train"].update(epochs=1, batch_size=1024, benchmark_mode=True)
+    conf["train"].update(epochs=1, batch_size=1024, benchmark_mode=True,
+                         precision=precision)
     conf["eval"].update(batch_size=256, cutoff=[20], val_metrics=["ndcg"],
                         test_metrics=["ndcg", "recall"], topk=100)
     seed_everything(2022)

@@ -367,3 +367,29 @@ def test_transformer_layer_module_xla_path_matches_ref():
         want = _ftl_ref(x, params, pad, causal, H)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-3, atol=5e-4)
+
+
+def test_fused_transformer_layer_bf16_mm_close_to_fp32():
+    """Under jax.default_matmul_precision('bfloat16') (what train.precision:
+    bf16 sets) the fused kernels run one-pass bf16 MXU inputs with f32
+    accumulation: outputs and grads must track fp32 within bf16 tolerance."""
+    from recstudio_tpu.ops.transformer_layer import fused_transformer_layer
+    x, params, pad, causal, (B, L, D, H, F) = _ftl_setup()
+    w = jnp.cos(jnp.arange(B * L * D, dtype=jnp.float32)).reshape(B, L, D)
+
+    def loss(x, params):
+        o = fused_transformer_layer(x, params, pad, causal, H, 0.0,
+                                    "gelu", 1e-6, True, jnp.int32(7))
+        return (o * w).sum(), o
+
+    outs = {}
+    for prec in ("float32", "bfloat16"):
+        with jax.default_matmul_precision(prec):
+            (_, o), gx = jax.value_and_grad(loss, has_aux=True)(x, params)
+            outs[prec] = (np.asarray(o), np.asarray(gx))
+    o32, g32 = outs["float32"]
+    o16, g16 = outs["bfloat16"]
+    assert not np.array_equal(o32, o16), "bf16 path did not engage"
+    np.testing.assert_allclose(o16, o32, rtol=5e-2, atol=3e-2)
+    np.testing.assert_allclose(g16, g32, rtol=8e-2,
+                               atol=5e-2 * max(1.0, float(np.abs(g32).max())))
