@@ -166,7 +166,7 @@ def _run_section(section: str) -> dict:
         # L/d/catalog) never report under the production-shape label, and
         # all four keys share one consistent prefix
         n = rec["n_inters"]
-        scale = (f"{n // 1_000_000}M" if n % 1_000_000 == 0
+        scale = (f"{round(n / 1_000_000)}M" if n >= 500_000
                  else f"{n // 1000}k")
         prefix = f"SASRec@{scale}/L{rec['seq_len']}/d{rec['embed_dim']}"
         anchor = min(BASELINE_EXAMPLES_PER_S,

@@ -120,10 +120,14 @@ def _choose_tiles(L: int, D: int = 64, F: int = 128, H: int = 2):
     best = None   # (cost_per_example, M, TB, G)
     for TB in range(1, 65):
         M = TB * L
-        # M capped at 512: measured on v5e (L=20), M=480 beats 960/640 even
-        # though the tick model scores them equal — smaller per-cell working
-        # sets pipeline better across grid cells
-        if M % 8 or M > 512:
+        # M capped at max(512, 4L): measured on v5e at L=20, M=480 beats
+        # 960/640 even though the tick model scores them equal — smaller
+        # per-cell working sets pipeline better across grid cells. But at
+        # long L the cap must scale or it forces tiny TB: at L=200/D=128
+        # (B=1024) TB=4 (M=800) measures 11.4 ms/step vs 12.7 at TB=2
+        # (M=400 pads 28% of every projection's row tiles); TB>=5 fails
+        # VMEM, which the budget below correctly predicts.
+        if M % 8 or M > max(512, 4 * L):
             continue
         for G in range(1, TB + 1):
             Lg = G * L
