@@ -761,6 +761,20 @@ class TripletDataset:
         return np.bincount(items, minlength=self.num_items).astype(np.int64)
 
     def get_network_field(self, network_id: int, feat_id: int, field_id: int) -> str:
+        # fail fast with guidance: kg/social models call this before touching
+        # self.network_feat[network_id], and the stock dataset configs ship
+        # with network_feat_name disabled (reference ml-100k.yaml:30 keeps it
+        # commented out too) — without the guard the model dies later with a
+        # bare IndexError
+        if network_id >= len(self.network_feat):
+            raise ValueError(
+                f"this model needs network feature #{network_id} (a knowledge"
+                f" graph / social network), but dataset '{self.name}' was"
+                f" built with {len(self.network_feat)} network feature(s)."
+                " Enable it in the data config: set network_feat_name (e.g."
+                " [[social.txt], [ml-100k.kg, ml-100k.link]] for ml-100k —"
+                " see the commented block in data/config/ml-100k.yaml and"
+                " tests/test_zoo.py::KG_DATA)")
         return parse_field(self.config["network_feat_field"][network_id][feat_id][field_id]).name
 
     def get_graph(self, idx=0, form="coo", value_fields=None, bidirectional=False,

@@ -188,3 +188,12 @@ def test_sorted_eval_loader(ml100k_splits):
         if tgt.ndim > 1:
             lens.extend((tgt > 0).sum(-1)[: int(batch["_size"])].tolist())
     assert lens == sorted(lens, reverse=True), "samples must be length-ordered"
+
+
+def test_missing_network_feat_raises_with_guidance(tiny_config):
+    """kg/social models resolve their fields via get_network_field before
+    touching network_feat; a dataset built without the network must produce
+    an actionable error, not the reference's bare IndexError."""
+    ds = TripletDataset("tiny", config=dict(tiny_config))
+    with pytest.raises(ValueError, match="network_feat_name"):
+        ds.get_network_field(1, 0, 0)
