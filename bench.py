@@ -180,6 +180,27 @@ def _run_section(section: str) -> dict:
                 f"{prefix} recall@20": rec["recall@20"],
                 f"{prefix} anchor ex/s": round(anchor, 1),
                 f"{prefix} vs_baseline": round(rec["value"] / anchor, 3)}
+    if section == "ctr_scale":
+        # CTR ranker at criteo shape: 13 float + 26 Zipf-token fields,
+        # planted logistic signal (AUC measures real learning). Anchor: the
+        # 200k overhead-bound cap — generous, since the reference's own
+        # DeepFM measures 31k ex/s where BPR does 223k on the same core
+        # (scripts/ref_throughput.py), and its per-example matmul FLOPs
+        # (~1.4M: [400]->256->256->256 MLP fwd+bwd) sit far below the
+        # GPU-peak bound.
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        import scale_bench
+        rec = scale_bench.run_scale_ctr("ctr-20000" if SMOKE
+                                        else "criteo-1m-shape")
+        n = rec["n_rows"]
+        scale = f"{round(n / 1_000_000)}M" if n >= 500_000 else f"{n // 1000}k"
+        prefix = f"DeepFM@{scale}-ctr39f"
+        return {f"{prefix} examples/s": rec["value"],
+                f"{prefix} eval qps": rec["eval_qps"],
+                f"{prefix} auc": rec["auc"],
+                f"{prefix} vs_baseline": round(
+                    rec["value"] / BASELINE_EXAMPLES_PER_S, 3)}
     raise SystemExit(f"unknown section {section}")
 
 
@@ -194,7 +215,7 @@ def main():
     for section, budget in [("bpr", 2400), ("sasrec", 1500),
                             ("lightgcn", 1500), ("deepfm", 1500),
                             ("eval", 1500), ("scale", 1500),
-                            ("seq_scale", 1500)]:
+                            ("seq_scale", 1500), ("ctr_scale", 1500)]:
         try:
             proc = subprocess.run(
                 [sys.executable, __file__, "--section", section],

@@ -97,3 +97,79 @@ def _write_inter(path: str, n_users: int, n_items: int, n_inters: int,
     pd.DataFrame({"user_id": users, "item_id": items,
                   "rating": ratings, "timestamp": ts.astype(np.float64)}
                  ).to_csv(path, sep="\t", index=False)
+
+
+# criteo-like categorical vocabulary spread: 2 huge hashed fields, a few
+# mid-cardinality, a long tail of small enums (sums to ~720k embedding rows)
+CTR_VOCABS = (300_000, 200_000, 80_000, 40_000, 20_000, 10_000, 5_000,
+              2_500, 1_200, 600, 300, 150, 100, 80, 60, 50, 40, 30, 25, 20,
+              15, 12, 10, 8, 5, 3)
+CTR_SHAPES = {
+    "criteo-1m-shape": 1_000_000,
+    "criteo-10m-shape": 10_000_000,
+}
+
+
+def generate_ctr(name: str, n_rows: int, out_dir: Optional[str] = None,
+                 seed: int = 0, n_float: int = 13,
+                 vocabs: Tuple[int, ...] = CTR_VOCABS,
+                 force: bool = False) -> Tuple[str, Dict]:
+    """Criteo-shape CTR rows: ``rating`` = binary label, I1..I13 floats,
+    C1..C26 Zipf-distributed tokens (reference data/config/criteo.yaml field
+    layout). The label carries a PLANTED logistic signal — per-token effects
+    plus a linear float term — so a ranker's test AUC measures real learning,
+    not noise-fitting. Returns ``(name, data_config)`` for TripletDataset."""
+    base = out_dir or os.path.join(DEFAULT_CACHE_DIR, "synthetic", name)
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, f"{name}.inter")
+    if force or not os.path.isfile(path):
+        _write_ctr(path, n_rows, seed, n_float, vocabs)
+    fields = (["rating:float"]
+              + [f"I{i + 1}:float" for i in range(n_float)]
+              + [f"C{j + 1}:token" for j in range(len(vocabs))])
+    config = {
+        "url": base,
+        "user_id_field": None, "item_id_field": None,
+        "rating_field": "rating:float", "time_field": None,
+        "inter_feat_name": f"{name}.inter",
+        "inter_feat_field": fields,
+        "inter_feat_header": 0,
+        "user_feat_name": None, "item_feat_name": None,
+        "network_feat_name": None, "low_rating_thres": None,
+        "min_user_inter": 0, "min_item_inter": 0, "drop_dup": False,
+        "save_cache": True,
+    }
+    return name, config
+
+
+def _write_ctr(path: str, n_rows: int, seed: int, n_float: int,
+               vocabs: Tuple[int, ...]) -> None:
+    import pandas as pd
+    rng = np.random.default_rng(seed)
+
+    cols = {}
+    logit = np.full(n_rows, -1.4)              # base CTR ~20%
+    for i in range(n_float):
+        x = rng.lognormal(mean=0.0, sigma=1.0, size=n_rows).astype(np.float32)
+        w = rng.normal(0.0, 0.25)
+        logit += w * np.log1p(x)
+        cols[f"I{i + 1}"] = np.round(x, 3)
+    for j, V in enumerate(vocabs):
+        # Zipf token draw via inverse-CDF (rng.choice with an explicit p is
+        # ~20x slower at V=300k); a per-field random permutation decouples
+        # popularity from id order. Values are written as plain ints — the
+        # ETL factorizes token fields per field, so no cross-field collisions
+        pop = 1.0 / np.arange(2.0, V + 2.0) ** 0.9
+        cdf = np.cumsum(pop / pop.sum())
+        ranks = np.searchsorted(cdf, rng.random(n_rows), side="right")
+        ids = rng.permutation(V)[np.minimum(ranks, V - 1)]
+        # deterministic per-token effect (hash -> centered uniform), scaled
+        # down for huge vocabs so rare tokens don't dominate the signal
+        eff = (((ids.astype(np.uint64) * np.uint64(2654435761)
+                 + np.uint64(j)) % np.uint64(1000)).astype(np.float32)
+               / 1000.0 - 0.5) * (1.2 if V <= 1000 else 0.4)
+        logit += eff
+        cols[f"C{j + 1}"] = ids
+    y = (rng.random(n_rows) < 1.0 / (1.0 + np.exp(-logit))).astype(np.float32)
+    frame = {"rating": y, **cols}
+    pd.DataFrame(frame).to_csv(path, sep="\t", index=False)

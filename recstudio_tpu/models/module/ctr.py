@@ -15,6 +15,7 @@ from typing import Any, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .layers import MLPModule, MultiHeadAttention, get_act
 
@@ -61,30 +62,74 @@ class Embeddings(nn.Module):
 
     @nn.compact
     def __call__(self, batch, training: bool = False):
-        embs = []
+        # Token fields are fused into ONE concatenated table + a single
+        # offset-id gather, and non-shared float fields into ONE [Fd, D]
+        # kernel: criteo-shape models (26 token + 13 float fields) otherwise
+        # emit 39 separate lookup subgraphs, which multiplies XLA compile
+        # time ~5s/field and serializes small gathers at runtime. Field
+        # order in the [..., F, D] output is preserved.
+        embs: list = [None] * len(self.field_specs)
+        token = [(i, s) for i, s in enumerate(self.field_specs) if s[1] == "token"]
+        floats = [(i, s) for i, s in enumerate(self.field_specs)
+                  if s[1] not in ("token", "token_seq")]
+
+        if len(token) == 1:   # keep the per-field param name for the common case
+            i, (name, _, n) = token[0]
+            table = self.param(f"{name}_embedding", nn.initializers.normal(0.02),
+                               (n, self.embed_dim))
+            embs[i] = table.at[batch[name]].get(mode="promise_in_bounds")
+        elif token:
+            sizes = [n for _, (_, _, n) in token]
+            table = self.param("token_embedding", nn.initializers.normal(0.02),
+                               (sum(sizes), self.embed_dim))
+            offs = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+            ids = jnp.stack([batch[name] + off
+                             for (_, (name, _, _)), off in zip(token, offs)],
+                            axis=-1)                           # [..., T]
+            fused = table.at[ids].get(mode="promise_in_bounds")  # [..., T, D]
+            for k, (i, _) in enumerate(token):
+                embs[i] = fused[..., k, :]
+
         shared_dense = None
-        if self.share_dense_embedding and any(t == "float" for _, t, _ in self.field_specs):
+        if self.share_dense_embedding and floats:
             shared_dense = DenseEmbedding(self.embed_dim, self.dense_emb_bias,
                                           name="shared_dense")
-        for name, t, n in self.field_specs:
+            for i, (name, _, _) in floats:
+                embs[i] = shared_dense(batch[name].astype(jnp.float32))
+        elif len(floats) == 1:
+            i, (name, _, _) = floats[0]
+            embs[i] = DenseEmbedding(self.embed_dim, self.dense_emb_bias,
+                                     name=f"{name}_dense")(
+                batch[name].astype(jnp.float32))
+        elif floats:
+            # per-field scalar->vector weights; stddev 1 matches the scale of
+            # the per-field Dense(1, D) (lecun_normal at fan_in=1) it fuses
+            kernel = self.param("dense_embedding",
+                                nn.initializers.normal(1.0),
+                                (len(floats), self.embed_dim))
+            xs = jnp.stack([batch[name].astype(jnp.float32)
+                            for _, (name, _, _) in floats], axis=-1)
+            fused = xs[..., None] * kernel                     # [..., Fd, D]
+            if self.dense_emb_bias:
+                bias = self.param("dense_embedding_bias",
+                                  nn.initializers.zeros,
+                                  (len(floats), self.embed_dim))
+                fused = fused + bias
+            for k, (i, _) in enumerate(floats):
+                embs[i] = fused[..., k, :]
+
+        for i, (name, t, n) in enumerate(self.field_specs):
+            if t != "token_seq":
+                continue
             d = batch[name]
-            if t == "token":
-                table = self.param(f"{name}_embedding", nn.initializers.normal(0.02),
-                                   (n, self.embed_dim))
-                embs.append(table.at[d].get(mode="promise_in_bounds"))
-            elif t == "token_seq":
-                table = self.param(f"{name}_embedding", nn.initializers.normal(0.02),
-                                   (n, self.embed_dim))
-                e = table.at[d].get(mode="promise_in_bounds")  # [..., L, D]
-                valid = (d > 0).astype(e.dtype)[..., None]
-                s = (e * valid).sum(-2)
-                if self.reduction == "mean":
-                    s = s / jnp.maximum(valid.sum(-2), 1.0)
-                embs.append(s)
-            else:  # float / float_seq treated as dense scalars
-                emb_mod = shared_dense if shared_dense is not None else \
-                    DenseEmbedding(self.embed_dim, self.dense_emb_bias, name=f"{name}_dense")
-                embs.append(emb_mod(d.astype(jnp.float32)))
+            table = self.param(f"{name}_embedding", nn.initializers.normal(0.02),
+                               (n, self.embed_dim))
+            e = table.at[d].get(mode="promise_in_bounds")      # [..., L, D]
+            valid = (d > 0).astype(e.dtype)[..., None]
+            s = (e * valid).sum(-2)
+            if self.reduction == "mean":
+                s = s / jnp.maximum(valid.sum(-2), 1.0)
+            embs[i] = s
         return jnp.stack(embs, axis=-2)                        # [..., F, D]
 
     @property

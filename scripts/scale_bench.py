@@ -152,11 +152,85 @@ def run_scale_seq(shape_name: str, max_seq_len: int = 200,
     return rec
 
 
+def run_scale_ctr(shape_name: str, model: str = "DeepFM",
+                  epochs_timed: int = 5):
+    """CTR ranker at criteo shape: 13 float + 26 Zipf-token fields
+    (~720k embedding rows) with a PLANTED logistic signal, so the reported
+    test AUC measures real learning. Exercises the fused token-table
+    embedding gather (one offset gather for all 26 categorical fields) and
+    the global-AUC ranker eval beyond ml-100k."""
+    from recstudio_tpu.data import TripletDataset
+    from recstudio_tpu.data.synthetic import CTR_SHAPES, generate_ctr
+    from recstudio_tpu.utils import get_model, seed_everything
+
+    n_rows = CTR_SHAPES.get(shape_name)
+    t0 = time.time()
+    if n_rows is None:   # smoke shapes: "ctr-<rows>" with default vocabs
+        n_rows = int(shape_name.split("-")[1])
+        name, config = generate_ctr(shape_name, n_rows, seed=11)
+    else:
+        name, config = generate_ctr(shape_name, n_rows, seed=11)
+    t_gen = time.time() - t0
+
+    t0 = time.time()
+    ds = TripletDataset(name, config=config)
+    trn, val, tst = ds.build(fmeval=True, split_mode="entry",
+                             split_ratio=[0.8, 0.1, 0.1])
+    t_etl = time.time() - t0
+
+    model_class, conf = get_model(model)
+    conf["train"].update(epochs=1, batch_size=8192, benchmark_mode=True)
+    conf["eval"].update(batch_size=8192, val_metrics=["auc"],
+                        test_metrics=["auc", "logloss"])
+    seed_everything(2022)
+    m = model_class(conf)
+
+    t0 = time.time()
+    m.fit(trn, None, run_mode="light")
+    loss = float(m.training_epoch(0))
+    assert np.isfinite(loss)
+    t_compile = time.time() - t0
+
+    n_examples = len(trn.data_index)
+    t0 = time.time()
+    losses = [m.training_epoch(0) for _ in range(epochs_timed)]
+    final = float(losses[-1])
+    dt = time.time() - t0
+    assert np.isfinite(final)
+
+    res = m.evaluate(tst, verbose=False)          # compile
+    n_queries = len(tst.data_index)
+    t0 = time.time()
+    res = m.evaluate(tst, verbose=False)
+    t_eval = time.time() - t0
+
+    rec = {
+        "metric": f"{model}/{shape_name} train throughput",
+        "value": round(n_examples * epochs_timed / dt, 1),
+        "unit": "examples/s",
+        "n_rows": n_rows,
+        "embed_dim": conf["model"].get("embed_dim"),
+        "gen_s": round(t_gen, 1),
+        "etl_s": round(t_etl, 1),
+        "compile_s": round(t_compile, 1),
+        "epoch_s": round(dt / epochs_timed, 3),
+        "eval_pass_s": round(t_eval, 3),
+        "eval_qps": round(n_queries / t_eval, 1),
+        "auc": round(float(res["auc"]), 4),
+        "logloss": round(float(res["logloss"]), 4),
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
 if __name__ == "__main__":
     shapes = sys.argv[1:] or ["ml-1m-shape", "ml-10m-shape"]
     if shapes[0] == "seq":
         for s in shapes[1:] or ["ml-1m-shape"]:
             run_scale_seq(s)
+    elif shapes[0] == "ctr":
+        for s in shapes[1:] or ["criteo-1m-shape"]:
+            run_scale_ctr(s)
     else:
         for s in shapes:
             run_scale(s)

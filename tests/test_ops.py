@@ -393,3 +393,47 @@ def test_fused_transformer_layer_bf16_mm_close_to_fp32():
     np.testing.assert_allclose(o16, o32, rtol=5e-2, atol=3e-2)
     np.testing.assert_allclose(g16, g32, rtol=8e-2,
                                atol=5e-2 * max(1.0, float(np.abs(g32).max())))
+
+
+def test_fused_embeddings_match_per_field_computation():
+    """Embeddings fuses all token fields into one offset-gathered table and
+    all float fields into one [Fd, D] kernel (criteo-shape models otherwise
+    pay ~5s XLA compile per field); the [..., F, D] output must equal the
+    per-field computation in original field order."""
+    import numpy as onp
+    from recstudio_tpu.models.module.ctr import Embeddings
+
+    specs = (("c1", "token", 7), ("x1", "float", 1), ("c2", "token", 5),
+             ("s1", "token_seq", 6), ("x2", "float", 1), ("c3", "token", 11))
+    D, B = 4, 3
+    rng = onp.random.default_rng(0)
+    batch = {
+        "c1": jnp.asarray(rng.integers(0, 7, B)),
+        "c2": jnp.asarray(rng.integers(0, 5, B)),
+        "c3": jnp.asarray(rng.integers(0, 11, B)),
+        "x1": jnp.asarray(rng.normal(size=B).astype(onp.float32)),
+        "x2": jnp.asarray(rng.normal(size=B).astype(onp.float32)),
+        "s1": jnp.asarray(rng.integers(0, 6, (B, 3))),
+    }
+    mod = Embeddings(specs, D)
+    params = mod.init(jax.random.PRNGKey(1), batch)["params"]
+    out = onp.asarray(mod.apply({"params": params}, batch))
+    assert out.shape == (B, len(specs), D)
+
+    tok = onp.asarray(params["token_embedding"])        # [7+5+11, D]
+    dense = onp.asarray(params["dense_embedding"])      # [2, D]
+    seq_t = onp.asarray(params["s1_embedding"])         # [6, D]
+    offs = {"c1": 0, "c2": 7, "c3": 12}
+    exp = onp.zeros_like(out)
+    for i, (name, t, _) in enumerate(specs):
+        if t == "token":
+            exp[:, i] = tok[onp.asarray(batch[name]) + offs[name]]
+        elif t == "float":
+            k = 0 if name == "x1" else 1
+            exp[:, i] = onp.asarray(batch[name])[:, None] * dense[k]
+        else:
+            ids = onp.asarray(batch[name])
+            e = seq_t[ids]                              # [B, L, D]
+            valid = (ids > 0).astype(onp.float32)[..., None]
+            exp[:, i] = (e * valid).sum(1) / onp.maximum(valid.sum(1), 1.0)
+    onp.testing.assert_allclose(out, exp, rtol=1e-6, atol=1e-6)
