@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence, Tuple
 
+import functools
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -46,6 +48,78 @@ class DenseEmbedding(nn.Module):
     def __call__(self, x):
         return nn.Dense(self.embed_dim, use_bias=self.bias, name="weight")(
             x[..., None].astype(jnp.float32))
+
+
+# vocab cutoff for the one-hot-matmul gradient: [B, V] selection matrices
+# stay small enough to fuse, and 8192x1024 one-hot x [B, D] dots are MXU
+# noise next to the alternatives
+_ONEHOT_VOCAB_MAX = 1024
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_gather(sizes: tuple, table, ids):
+    """Gather [..., T] per-field offset ids from the concatenated [N, D]
+    token table, with a sort-free, (mostly) scatter-free backward.
+
+    The naive autodiff backward — one scatter-add of B*T cotangent rows
+    into [N, D] — serializes on TPU at ~45 ns per update (criteo shape:
+    213k updates = ~9.5 ms, 80% of the whole DeepFM step), and every
+    sort-then-segment-sum reformulation just moves the time into the sort
+    (~18 ms for argsort of 213k inside the epoch scan). This backward uses
+    the structure the fusion itself created instead: each field's ids live
+    in its own offset slab, so
+      - small-vocab fields (V <= _ONEHOT_VOCAB_MAX) reduce EXACTLY via a
+        one-hot matmul (onehot[B, V].T @ ct[B, D] on the MXU, full-f32
+        passes), no sort, no scatter;
+      - the few big-vocab fields share ONE scatter-add over just their
+        B-per-field updates.
+    The slab results concatenate into d_table in offset order. (A tiled
+    sort-then-matmul segment sum was also tried: at D>=64 the one-hot
+    matmul's R-times FLOP overhead loses to the plain scatter, and the
+    in-scan argsort itself costs more than the scatter it avoids.)
+    """
+    return table.at[ids].get(mode="promise_in_bounds")
+
+
+def _fused_gather_fwd(sizes, table, ids):
+    return _fused_gather(sizes, table, ids), ids
+
+
+def _fused_gather_bwd(sizes, ids, ct):
+    D = ct.shape[-1]
+    ids2 = ids.reshape(-1, ids.shape[-1])          # [B, T]
+    ct2 = ct.reshape(-1, ids.shape[-1], D)         # [B, T, D]
+    offs = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    slabs = [None] * len(sizes)
+    big = [t for t, v in enumerate(sizes) if v > _ONEHOT_VOCAB_MAX]
+    for t, v in enumerate(sizes):
+        if v > _ONEHOT_VOCAB_MAX:
+            continue
+        rel = ids2[:, t] - int(offs[t])            # [B] in [0, v)
+        onehot = (rel[None, :] == jnp.arange(v, dtype=rel.dtype)[:, None])
+        slabs[t] = jnp.dot(onehot.astype(ct.dtype), ct2[:, t, :],
+                           preferred_element_type=ct.dtype,
+                           precision=jax.lax.Precision.HIGHEST)
+    if big:
+        n_big = int(sum(sizes[t] for t in big))
+        big_off = {}
+        acc = 0
+        for t in big:
+            big_off[t] = acc
+            acc += sizes[t]
+        bids = jnp.concatenate(
+            [ids2[:, t] - int(offs[t]) + big_off[t] for t in big])
+        bct = jnp.concatenate([ct2[:, t, :] for t in big])
+        d_big = jnp.zeros((n_big, D), ct.dtype).at[bids].add(bct)
+        pos = 0
+        for t in big:
+            slabs[t] = jax.lax.dynamic_slice_in_dim(d_big, pos, sizes[t])
+            pos += sizes[t]
+    d_table = jnp.concatenate(slabs, axis=0)
+    return d_table, None
+
+
+_fused_gather.defvjp(_fused_gather_fwd, _fused_gather_bwd)
 
 
 class Embeddings(nn.Module):
@@ -86,7 +160,7 @@ class Embeddings(nn.Module):
             ids = jnp.stack([batch[name] + off
                              for (_, (name, _, _)), off in zip(token, offs)],
                             axis=-1)                           # [..., T]
-            fused = table.at[ids].get(mode="promise_in_bounds")  # [..., T, D]
+            fused = _fused_gather(tuple(sizes), table, ids)    # [..., T, D]
             for k, (i, _) in enumerate(token):
                 embs[i] = fused[..., k, :]
 

@@ -437,3 +437,28 @@ def test_fused_embeddings_match_per_field_computation():
             valid = (ids > 0).astype(onp.float32)[..., None]
             exp[:, i] = (e * valid).sum(1) / onp.maximum(valid.sum(1), 1.0)
     onp.testing.assert_allclose(out, exp, rtol=1e-6, atol=1e-6)
+
+
+def test_fused_gather_grad_matches_autodiff_scatter():
+    """_fused_gather's sort-free backward (one-hot matmuls for small-vocab
+    fields + one scatter for big-vocab fields) must equal the plain autodiff
+    scatter-add of the gather, for a mix of small and big vocabs."""
+    import numpy as onp
+    from recstudio_tpu.models.module.ctr import _fused_gather
+
+    rng = onp.random.default_rng(1)
+    sizes = (7, 3000, 12, 128, 1025, 5)   # 3000/1025 take the scatter path
+    N = sum(sizes)
+    D, B = 6, 257
+    offs = onp.concatenate([[0], onp.cumsum(sizes)[:-1]])
+    ids = jnp.asarray(onp.stack(
+        [rng.integers(0, v, B) + o for v, o in zip(sizes, offs)], 1)
+        .astype(onp.int32))
+    table = jnp.asarray(rng.normal(size=(N, D)).astype(onp.float32))
+    w = jnp.asarray(rng.normal(size=(B, len(sizes), D)).astype(onp.float32))
+
+    gc = jax.grad(lambda t: (_fused_gather(sizes, t, ids) * w).sum())(table)
+    gp = jax.grad(lambda t: (t.at[ids].get(mode="promise_in_bounds")
+                             * w).sum())(table)
+    onp.testing.assert_allclose(onp.asarray(gc), onp.asarray(gp),
+                                rtol=1e-5, atol=1e-5)
