@@ -426,11 +426,40 @@ class Recommender:
                 perm = jnp.concatenate([perm, perm[:pad]])
             chunks = perm.reshape(nbatch, bs)
 
-            def body(carry, sel):
+            # Per-step `v[sel]` column gathers are n_fields independent
+            # random 4-byte-element reads — at criteo shape (40 staged
+            # columns) that data path was ~80% of the DeepFM step. Instead:
+            # pack same-dtype 1-D columns into [n, C] matrices, permute the
+            # ROWS once per epoch (each random read now moves a contiguous
+            # 4*C-byte burst), and let the scan take free contiguous slices.
+            # Batches are bitwise identical to the per-column gathers.
+            packed_groups = {}      # dtype str -> (names, [nbatch*bs, C])
+            rest = dict(data)
+            if batch_fn is None:
+                by_dtype: Dict[str, list] = {}
+                for k in sorted(data):
+                    if data[k].ndim == 1 and data[k].shape[0] == n:
+                        by_dtype.setdefault(str(data[k].dtype), []).append(k)
+                for dt, ks in by_dtype.items():
+                    if len(ks) < 2:
+                        continue
+                    packed_groups[dt] = (
+                        ks, jnp.stack([data[k] for k in ks], axis=1)[perm])
+                    for k in ks:
+                        rest.pop(k)
+
+            def body(carry, sel_i):
                 params, opt_state, i = carry
-                raw = batch_fn(data, sel) if batch_fn is not None \
-                    else {k: v[sel] for k, v in data.items()}
-                batch = _constrain(raw)
+                if batch_fn is not None:
+                    batch = batch_fn(data, sel_i)
+                else:
+                    batch = {k: v[sel_i] for k, v in rest.items()}
+                    for ks, mat in packed_groups.values():
+                        block = jax.lax.dynamic_slice_in_dim(
+                            mat, i * bs, bs)
+                        for c, k in enumerate(ks):
+                            batch[k] = block[:, c]
+                batch = _constrain(batch)
                 step_rng = jax.random.fold_in(rng, i)
                 params, opt_state, loss = self._grad_step(
                     optimizer, params, opt_state, batch, step_rng, states)
