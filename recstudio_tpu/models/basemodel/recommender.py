@@ -441,7 +441,12 @@ class Recommender:
                     if data[k].ndim == 1 and data[k].shape[0] == n:
                         by_dtype.setdefault(str(data[k].dtype), []).append(k)
                 for dt, ks in by_dtype.items():
-                    if len(ks) < 2:
+                    # pack only wide groups: the win is replacing MANY
+                    # narrow random gathers with one wide one (criteo: 26
+                    # int + 14 float columns). For 2-3 column models (BPR)
+                    # the per-step strided column unpack costs more than
+                    # the gathers it saves (measured -25% on BPR/ml-100k).
+                    if len(ks) < 8:
                         continue
                     packed_groups[dt] = (
                         ks, jnp.stack([data[k] for k in ks], axis=1)[perm])
