@@ -393,7 +393,20 @@ class Recommender:
         if arrays_host is None:
             arrays_host = train_data._get_pos_batch(np.arange(n))
             nbytes = sum(np.asarray(v).nbytes for v in arrays_host.values())
-            if nbytes > self._device_data_budget():
+            # the epoch scan packs wide same-dtype column groups into a
+            # permuted [n, C] duplicate inside the jit (see packed_groups
+            # below) — count that copy here so the device-resident choice
+            # doesn't overshoot the budget by ~2x on wide CTR data
+            by_dt: Dict[str, int] = {}
+            for v in arrays_host.values():
+                a = np.asarray(v)
+                if a.ndim == 1 and a.shape[0] == n:
+                    by_dt[str(a.dtype)] = by_dt.get(str(a.dtype), 0) + 1
+            packed_dup = sum(
+                np.asarray(v).nbytes for v in arrays_host.values()
+                if np.asarray(v).ndim == 1 and np.asarray(v).shape[0] == n
+                and by_dt[str(np.asarray(v).dtype)] >= 8)
+            if nbytes + packed_dup > self._device_data_budget():
                 return self._setup_chunked_epoch(train_data, optimizer, arrays_host)
         arrays = {k: jnp.asarray(v) for k, v in arrays_host.items()}
         shuffle = bool(self.config["data"].get("shuffle", True))

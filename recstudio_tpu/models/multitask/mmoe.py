@@ -42,14 +42,16 @@ class MMoENet(nn.Module):
         x = emb.reshape(emb.shape[0], -1)
         bank = nn.vmap(
             MLPModule,
-            in_axes=None, out_axes=1,            # x broadcast; [B, E, De] out
+            in_axes=(None, None), out_axes=1,    # x, training broadcast; [B, E, De] out
             variable_axes={"params": 0},         # leading expert axis
             split_rngs={"params": True, "dropout": True},
             axis_size=self.num_experts,
         )([x.shape[-1], *self.expert_mlp_layer],
           activation_func=self.expert_activation,
           dropout=self.expert_dropout, name="experts")
-        experts = bank(x, training=training)                   # [B, E, De]
+        # `training` MUST be positional: flax's lifted vmap silently drops
+        # kwargs (RuntimeWarning), which disabled expert dropout entirely.
+        experts = bank(x, training)                            # [B, E, De]
         out = {}
         for r in self.ratings:
             gate = MLPModule([x.shape[-1], *self.gate_mlp_layer, self.num_experts],

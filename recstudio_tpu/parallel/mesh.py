@@ -39,8 +39,11 @@ def _is_embedding_path(path) -> bool:
 
 
 def _is_expert_bank_path(path) -> bool:
-    # a vmapped expert bank (MMoE: models/multitask/mmoe.py) — every leaf
-    # under the module named exactly 'experts' has a leading expert axis
+    # NAMING CONTRACT (see models/multitask/mmoe.py MMoENet): a flax module
+    # named exactly 'experts' declares an expert-parallel bank — EVERY param
+    # leaf under it must carry a leading expert axis (nn.vmap with
+    # variable_axes={'params': 0}). Do not name a module 'experts' unless it
+    # honors this; tests/test_multitask.py pins the contract for MMoE.
     return any(n == "experts" for n in _path_names(path))
 
 
