@@ -50,6 +50,23 @@ def _transformer_flops_per_example(L, d, ffn_hidden, n_layers):
 # the numbers it prints are NOT benchmarks
 SMOKE = bool(int(os.environ.get("BENCH_SMOKE", "0")))
 
+# Persistent XLA compile cache shared by every section subprocess (and by
+# repeat bench runs on the same machine — the driver's end-of-round run hits
+# the compiles this session already warmed). Verified to work on the
+# tunneled 'axon' TPU backend. Round 3 lesson (BENCH_r03 rc=124): compile
+# over the tunnel dominates section wall-clock; without this cache each
+# subprocess re-compiles every model from scratch.
+BENCH_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_bench_cache")
+
+
+def _enable_compile_cache():
+    import jax
+    os.makedirs(BENCH_CACHE_DIR, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", BENCH_CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 
 def _build(name, train_overrides=None):
     from recstudio_tpu.utils import get_model, seed_everything
@@ -122,6 +139,7 @@ def bench_eval_qps(name="BPR", repeats=20):
 
 def _run_section(section: str) -> dict:
     """One bench section; prints a single JSON dict on stdout."""
+    _enable_compile_cache()
     np.random.seed(42)
     if section == "bpr":
         return {"bpr": round(bench_train("BPR", 50), 1)}
@@ -204,51 +222,89 @@ def _run_section(section: str) -> dict:
     raise SystemExit(f"unknown section {section}")
 
 
+# (section, per-section cap in seconds). Ordered by evidence value: headline
+# first, then the at-scale rows VERDICT r3 flagged as the round deliverable,
+# then the small ml-100k sweep. Caps assume a warm compile cache (the normal
+# case — BENCH_CACHE_DIR persists across runs on this machine); the global
+# deadline, not the caps, is the real guard on a cold machine.
+SECTIONS = [("bpr", 900), ("ctr_scale", 900), ("seq_scale", 1200),
+            ("scale", 900), ("eval", 600), ("deepfm", 600),
+            ("sasrec", 600), ("lightgcn", 600)]
+
+
+def _headline(results: dict) -> str:
+    """Cumulative headline JSON from whatever sections have finished."""
+    extra = dict(results)
+    bpr = extra.pop("bpr", None)
+    for name in ("SASRec", "LightGCN", "DeepFM", "BPR@1M-inters"):
+        if (f"{name} examples/s" in extra
+                and f"{name} vs_baseline" not in extra):
+            extra[f"{name} vs_baseline"] = round(
+                extra[f"{name} examples/s"] / BASELINE_EXAMPLES_PER_S, 3)
+    if bpr is None:
+        # headline section missing: report 0 honestly (round-3 verdict: do
+        # NOT substitute another model's number under the BPR label)
+        extra["headline_note"] = "bpr section did not complete"
+        bpr = 0.0
+    return json.dumps({
+        "metric": "BPR/ml-100k train throughput (1 chip)",
+        "value": round(bpr, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(bpr / BASELINE_EXAMPLES_PER_S, 3),
+        "extra": extra,
+    })
+
+
 def main():
     """Run every section in a SUBPROCESS with a hard timeout: the tunneled
     compile service can hang a fresh compile indefinitely, and a blocked
     PJRT call cannot be interrupted in-process — one stuck section must not
-    zero the whole bench (the driver records only the final JSON line)."""
+    zero the whole bench.
+
+    Round-3 lesson (BENCH_r03: rc=124, empty tail): the driver enforces its
+    own wall-clock window and parses the LAST complete JSON line of stdout.
+    So (a) the full cumulative headline line is re-printed after EVERY
+    section — a kill at any point still leaves all completed sections on
+    record — and (b) a global deadline (BENCH_DEADLINE_S, default 2400 s)
+    skips remaining sections rather than running into the driver's kill."""
     import subprocess
-    extra = {}
+    t_start = time.time()
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", 2400))
     results = {}
-    for section, budget in [("bpr", 2400), ("sasrec", 1500),
-                            ("lightgcn", 1500), ("deepfm", 1500),
-                            ("eval", 1500), ("scale", 1500),
-                            ("seq_scale", 1500), ("ctr_scale", 1500)]:
+    env = dict(os.environ,
+               JAX_COMPILATION_CACHE_DIR=BENCH_CACHE_DIR,
+               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.5",
+               JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="-1")
+    os.makedirs(BENCH_CACHE_DIR, exist_ok=True)
+    for section, cap in SECTIONS:
+        remaining = deadline_s - (time.time() - t_start)
+        budget = min(cap, remaining - 20)
+        if budget < 120:
+            print(f"[bench] {remaining:.0f}s left of BENCH_DEADLINE_S="
+                  f"{deadline_s:.0f}: skipping '{section}' and the rest",
+                  file=sys.stderr, flush=True)
+            break
+        t_sec = time.time()
         try:
             proc = subprocess.run(
                 [sys.executable, __file__, "--section", section],
-                capture_output=True, text=True, timeout=budget)
+                capture_output=True, text=True, timeout=budget, env=env)
+            print(f"[bench] section '{section}' took "
+                  f"{time.time() - t_sec:.0f}s (cap {budget:.0f}s)",
+                  file=sys.stderr, flush=True)
             line = next((ln for ln in proc.stdout.splitlines()[::-1]
                          if ln.startswith("{")), None)
             if line:
                 results.update(json.loads(line))
             else:
                 print(f"[bench] section '{section}' produced no JSON "
-                      f"(rc={proc.returncode})", file=sys.stderr, flush=True)
+                      f"(rc={proc.returncode}) "
+                      f"stderr tail: {proc.stderr[-400:]!r}",
+                      file=sys.stderr, flush=True)
         except subprocess.TimeoutExpired:
-            print(f"[bench] section '{section}' exceeded {budget}s — killed",
-                  file=sys.stderr, flush=True)
-
-    bpr = results.pop("bpr", None)
-    extra.update(results)
-    for name in ("SASRec", "LightGCN", "DeepFM", "BPR@1M-inters",
-                 "SASRec@1M/L200/d128"):
-        if (f"{name} examples/s" in extra
-                and f"{name} vs_baseline" not in extra):
-            extra[f"{name} vs_baseline"] = round(
-                extra[f"{name} examples/s"] / BASELINE_EXAMPLES_PER_S, 3)
-    if bpr is None:   # headline section hung: report what we have
-        bpr = extra.get("DeepFM examples/s", 0.0)
-
-    print(json.dumps({
-        "metric": "BPR/ml-100k train throughput (1 chip)",
-        "value": round(bpr, 1),
-        "unit": "examples/s",
-        "vs_baseline": round(bpr / BASELINE_EXAMPLES_PER_S, 3),
-        "extra": extra,
-    }))
+            print(f"[bench] section '{section}' exceeded {budget:.0f}s — "
+                  "killed", file=sys.stderr, flush=True)
+        print(_headline(results), flush=True)
 
 
 if __name__ == "__main__":

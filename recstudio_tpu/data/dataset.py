@@ -176,7 +176,9 @@ class TripletDataset:
         url = self.config.get("url") or ""
         if url.startswith("recstudio:"):
             return os.path.join(_PKG_DIR, url.split(":", 1)[1])
-        if url.startswith(("http://", "https://")):
+        if url.startswith(("http://", "https://", "file://")):
+            # file:// serves as the offline-sandbox proof of the exact same
+            # download->extract->cache path http(s) datasets go through
             from ..utils.download import download_dataset
             return download_dataset(url, self.name)
         if url and os.path.isdir(url):

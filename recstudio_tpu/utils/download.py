@@ -36,9 +36,13 @@ def extract_archive(path: str, dest_dir: str) -> str:
     return dest_dir
 
 
-def download_dataset(url: str, name: str, download_dir: str = DEFAULT_DOWNLOAD_DIR) -> str:
-    """Fetch and unpack a dataset archive; returns the dataset directory."""
+def download_dataset(url: str, name: str, download_dir: str = None) -> str:
+    """Fetch and unpack a dataset archive; returns the dataset directory.
+
+    ``download_dir`` defaults to DEFAULT_DOWNLOAD_DIR resolved at CALL time
+    (not def time) so tests and deployments can repoint the cache."""
     logger = get_logger()
+    download_dir = download_dir or DEFAULT_DOWNLOAD_DIR
     target_dir = os.path.join(download_dir, name)
     if os.path.isdir(target_dir) and os.listdir(target_dir):
         return target_dir

@@ -31,6 +31,25 @@ KG = {"cfkg", "cke", "ktup", "kgat", "kgcn", "kgnnls", "kgin", "mkr",
 
 ALL_MODELS = sorted(list_models())
 
+# Middle tier (`pytest -m zoo_sample`, VERDICT r3 #8): one stratified
+# representative per family — cheap enough to run every round on a 1-core
+# host (<15 min), unlike the 2-hour full zoo tier. kg picks cfkg (TransE
+# tower) rather than the ~6-min kgat; CL-seq trio represented by cl4srec.
+ZOO_SAMPLE = {
+    "ncf",       # mf: fusion scorer
+    "gru4rec",   # seq: scan-based GRU encoder
+    "multivae",  # ae: UserDataset + full softmax
+    "xdeepfm",   # fm: CIN + fused field embeddings
+    "lightgcn",  # graph: propagation cache
+    "cfkg",      # kg: TransE tower + network feats
+    "mmoe",      # multitask: vmapped expert bank
+    "cl4srec",   # CL-seq: SeqToSeqDataset + augmentation + InfoNCE
+    "ipsbpr",    # debias: propensity-weighted BPR
+}
+assert ZOO_SAMPLE <= set(ALL_MODELS)
+ALL_MODELS = [pytest.param(m, marks=pytest.mark.zoo_sample)
+              if m in ZOO_SAMPLE else m for m in ALL_MODELS]
+
 
 @pytest.fixture(scope="module")
 def multitask_dataset(tmp_path_factory):
