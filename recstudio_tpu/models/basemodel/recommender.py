@@ -117,6 +117,10 @@ class Recommender:
         return batch_to_device(batch)
 
     def _init_parameter(self, train_data):
+        # flax init runs eagerly — force the dense lookup route during init
+        # (a2a needs a jit/manual-axes context; params are identical anyway)
+        from ...parallel.embedding import set_a2a_lookup
+        set_a2a_lookup(None)
         batch = self._example_batch(train_data)
         variables = self._init_variables(batch)
         if "params" in variables:
@@ -128,6 +132,13 @@ class Recommender:
         init_range = self.config["train"].get("init_range", 0.02)
         self.params = init_parameters(params, self.next_rng(), method, init_range)
         self._mesh = self._maybe_make_mesh()
+        lookup = str(self.config["train"].get("embedding_lookup")
+                     or "gspmd").lower()
+        use_a2a = (self._mesh is not None and self._mesh.shape["mp"] > 1
+                   and lookup == "a2a")
+        # set (or reset) the process-wide lookup route BEFORE any of this
+        # model's jits trace; numerically both routes are identical
+        set_a2a_lookup(self._mesh if use_a2a else None)
         if self._mesh is not None:
             from ...parallel import param_shardings
             shard_emb = self._mesh.shape["mp"] > 1
@@ -136,7 +147,8 @@ class Recommender:
                                              shard_embeddings=shard_emb))
             self.logger.info(
                 f"mesh dp={self._mesh.shape['dp']} mp={self._mesh.shape['mp']}"
-                + (" (embedding tables row-sharded)" if shard_emb else ""))
+                + (" (embedding tables row-sharded)" if shard_emb else "")
+                + (" [a2a dedup lookup active]" if use_a2a else ""))
         if aux:
             # non-param flax collections (e.g. batch_stats): kept in states and
             # recalibrated before evaluation (see _refresh_net_state)

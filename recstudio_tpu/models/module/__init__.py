@@ -1,6 +1,7 @@
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .gru import AGRU, AIGRU, AUGRU
@@ -22,6 +23,18 @@ class Embedding(nn.Module):
     def __call__(self, ids, training: bool = False):
         table = self.param("embedding", nn.initializers.normal(0.02),
                            (self.num_embeddings, self.features))
+        # train.embedding_lookup: a2a — route the read through the
+        # all-to-all dedup exchange (comm ~ unique ids instead of mp*B*D)
+        # when the engine activated it and this table actually row-shards
+        # (same divisibility rule as parallel/mesh.py param_shardings)
+        from ...parallel.embedding import a2a_lookup_mesh, mp_table_lookup
+        mesh = a2a_lookup_mesh()
+        if (mesh is not None and mesh.shape.get("mp", 1) > 1
+                and self.num_embeddings % mesh.shape["mp"] == 0
+                # a2a needs a jit context (manual mp axes); eager applies —
+                # flax init, ad-hoc net.apply — keep the dense read
+                and isinstance(jnp.asarray(table), jax.core.Tracer)):
+            return mp_table_lookup(mesh, table, ids)
         # ids are factorized by the data layer / drawn modulo the catalog by
         # the samplers, so they are in [0, N) by construction. The default
         # take() wraps negatives with a per-element select that XLA runs

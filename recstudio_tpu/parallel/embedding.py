@@ -6,14 +6,14 @@ tables are row-sharded across the `mp` mesh axis; lookups exchange ids via
 The backward pass is automatic: `shard_map` differentiates through the
 collectives, producing scatter-add gradients into the local shard only.
 
-Two lookup strategies:
-- ``gathered``: all_gather the ids (cheap: ids are ints), each shard gathers
-  its local rows for the full batch with a mask, psum combines. One psum of
-  [B, D] per table — optimal when B*D is small relative to table size.
-- replicated fallback for tables too small to shard.
-
-``ShardedEmbedding`` is a flax module; under `jit` + `shard_map` the table
-parameter carries a `PartitionSpec('mp', None)` sharding.
+Two lookup strategies, selected by ``train.embedding_lookup``:
+- ``gspmd`` (default, implicit): tables carry a ``P('mp', None)`` sharding
+  and XLA lowers the plain gather to its own collective schedule.
+- ``a2a``: :func:`a2a_dedup_lookup` under ``shard_map`` — comm volume scales
+  with UNIQUE ids, not mp*B*D. The engine activates it via
+  :func:`set_a2a_lookup`; ``models.module.Embedding`` consults
+  :func:`a2a_lookup_mesh` at trace time and routes its table read through
+  :func:`mp_table_lookup`.
 """
 from __future__ import annotations
 
@@ -23,6 +23,38 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+# Active a2a-lookup mesh, set by the engine (Recommender._init_parameter)
+# when `train.embedding_lookup: a2a` and the mesh has mp > 1. Read by
+# models.module.Embedding at TRACE time. A plain global is safe here because
+# it only selects between two numerically identical lookup strategies — a
+# stale value can change a later trace's comm schedule, never its result.
+_A2A_MESH: Optional[Mesh] = None
+
+
+def set_a2a_lookup(mesh: Optional[Mesh]) -> None:
+    """Enable (mesh) or disable (None) the all-to-all dedup lookup route."""
+    global _A2A_MESH
+    _A2A_MESH = mesh
+
+
+def a2a_lookup_mesh() -> Optional[Mesh]:
+    return _A2A_MESH
+
+
+def mp_table_lookup(mesh: Mesh, table: jax.Array, ids: jax.Array) -> jax.Array:
+    """Route a row-sharded-table read through :func:`a2a_dedup_lookup`.
+
+    Manual over the ``mp`` axis only (``axis_names={'mp'}``): the table
+    enters as its local [rows/mp, D] shard, ids stay replicated over mp, and
+    the ``dp`` axis remains GSPMD-auto so dp-sharded batches keep their
+    layout. Differentiable in ``table`` (the all_to_all pair transposes to
+    the reverse exchange + scatter-add into the local shard)."""
+    return jax.shard_map(
+        lambda t, i: a2a_dedup_lookup(t, i, "mp"),
+        mesh=mesh, in_specs=(P("mp", None), P()), out_specs=P(),
+        axis_names=frozenset({"mp"}), check_vma=False)(table, ids)
 
 
 def sharded_lookup(table: jax.Array, ids: jax.Array, axis_name: str = "mp") -> jax.Array:

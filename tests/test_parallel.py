@@ -225,11 +225,12 @@ def test_a2a_dedup_lookup_gradient(mesh8):
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-5)
 
 
-def _fit_and_eval(model_name, mesh_conf, splits, epochs=3):
+def _fit_and_eval(model_name, mesh_conf, splits, epochs=3, train_extra=None):
     from recstudio_tpu.utils import get_model, seed_everything
     trn, val, tst = splits
     cls, conf = get_model(model_name)
     conf["train"].update(epochs=epochs, batch_size=512)
+    conf["train"].update(train_extra or {})
     if mesh_conf:
         conf["train"]["mesh"] = mesh_conf
     conf["eval"].update(batch_size=64, cutoff=[10], val_metrics=["ndcg"],
@@ -238,6 +239,43 @@ def _fit_and_eval(model_name, mesh_conf, splits, epochs=3):
     m = cls(conf)
     m.fit(trn, val, run_mode="light")
     return m.evaluate(tst, verbose=False)
+
+
+@pytest.fixture(scope="module")
+def synth_splits(tmp_path_factory):
+    """64 users / 127 items (+PAD = 128): both tables divide mp=2, so the
+    a2a route engages on BOTH towers."""
+    from recstudio_tpu.data import TripletDataset
+    from recstudio_tpu.data.synthetic import generate
+    d = str(tmp_path_factory.mktemp("a2a-synth"))
+    name, config = generate("a2a-synth", n_users=64, n_items=127,
+                            n_inters=6000, out_dir=d, seed=5,
+                            max_user_inters=400)
+    config["save_cache"] = False
+    np.random.seed(5)
+    return TripletDataset(name, config=config).build(
+        split_ratio=[0.8, 0.1, 0.1])
+
+
+def test_a2a_engine_lookup_parity(mesh8, synth_splits, monkeypatch):
+    """train.embedding_lookup: a2a routes TwoTowerNet table reads through
+    the all-to-all dedup exchange (VERDICT r3 #4) — the route must actually
+    engage at trace time and reproduce the GSPMD-default metrics."""
+    from recstudio_tpu.parallel import embedding as par_emb
+    calls = []
+    real = par_emb.mp_table_lookup
+    monkeypatch.setattr(par_emb, "mp_table_lookup",
+                        lambda *a: calls.append(1) or real(*a))
+    base = _fit_and_eval("BPR", {"dp": 4, "mp": 2}, synth_splits, epochs=2)
+    assert not calls, "a2a route engaged without embedding_lookup: a2a"
+    a2a = _fit_and_eval("BPR", {"dp": 4, "mp": 2}, synth_splits, epochs=2,
+                        train_extra={"embedding_lookup": "a2a"})
+    assert calls, "a2a route never engaged despite embedding_lookup: a2a"
+    assert par_emb.a2a_lookup_mesh() is not None
+    for k in base:
+        assert abs(base[k] - a2a[k]) < 2e-3, (k, base[k], a2a[k])
+    # reset the process-wide route for later tests in this session
+    par_emb.set_a2a_lookup(None)
 
 
 @pytest.mark.slow
