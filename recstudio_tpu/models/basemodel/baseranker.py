@@ -126,8 +126,125 @@ class BaseRanker(Recommender):
 
     # -- pure functions ----------------------------------------------------
     def _init_variables(self, batch):
-        return self.net.init({"params": self.next_rng(), "dropout": self.next_rng()},
-                             batch, training=False)
+        # collect fused-token-table layouts while the init trace runs (see
+        # ctr._PROBE_DISCOVERY) — feeds the row-sparse optimizer gate below
+        from ..module import ctr
+        prev = ctr._PROBE_DISCOVERY
+        ctr._PROBE_DISCOVERY = {}
+        try:
+            variables = self.net.init(
+                {"params": self.next_rng(), "dropout": self.next_rng()},
+                batch, training=False)
+        finally:
+            self._emb_probe_meta = dict(ctr._PROBE_DISCOVERY)
+            ctr._PROBE_DISCOVERY = prev
+        return variables
+
+    # ------------------------------------------------------------------
+    # row-sparse embedding engine for CTR rankers: with the fused token
+    # table (models/module/ctr.py), dense Adam reads+writes params AND both
+    # moments for every one of the table's N rows each step — 5+ full [N, D]
+    # HBM round-trips; at real criteo vocabularies (tens of millions of
+    # rows) that traffic IS the step time. When ``learner: sparse_adam`` and
+    # the gates below hold, the step differentiates a zero PROBE added to
+    # the gathered rows instead of the table itself (so no dense [N, D]
+    # cotangent ever exists) and applies fused_table_lazy_adam
+    # (models/optim.py): O(batch) row traffic, identical trajectory.
+    # Mirrors baseretriever.py's two-tower ``_sparse_grad_step``.
+    # ------------------------------------------------------------------
+    def _ctr_sparse_enabled(self) -> bool:
+        if hasattr(self, "_ctr_sparse_flag"):
+            return self._ctr_sparse_flag
+        tc = self.config["train"]
+        meta = getattr(self, "_emb_probe_meta", None)
+        ok = (
+            bool(meta)
+            and str(tc.get("sparse_rows", "auto")).lower() != "false"
+            and str(tc.get("learner", "adam")).lower() == "sparse_adam"
+            and not tc.get("weight_decay")
+            and not tc.get("grad_clip_norm")
+            and not tc.get("scheduler")
+            and self.retriever is None
+            and getattr(self, "_mesh", None) is None
+            and len(getattr(self, "optimizers", [None])) == 1
+        )
+        if ok:
+            for m in meta.values():
+                node = self.params
+                try:
+                    for k in m["param_path"]:
+                        node = node[k]
+                except (KeyError, TypeError):
+                    ok = False
+                    break
+                if getattr(node, "shape", None) != (sum(m["sizes"]),
+                                                    m["embed_dim"]):
+                    ok = False
+                    break
+        self._ctr_sparse_flag = bool(ok)
+        if ok:
+            self.logger.info(
+                "row-sparse fused-table updates engaged: "
+                + ", ".join(f"{k}[{sum(m['sizes'])}x{m['embed_dim']}]"
+                            for k, m in meta.items()))
+        return self._ctr_sparse_flag
+
+    def _grad_step(self, optimizer, params, opt_state, batch, rng, states):
+        if self._ctr_sparse_enabled():
+            return self._ctr_sparse_grad_step(params, opt_state, batch, rng,
+                                              states)
+        return super()._grad_step(optimizer, params, opt_state, batch, rng,
+                                  states)
+
+    def _ctr_sparse_grad_step(self, params, opt_state, batch, rng, states):
+        from ..init import zero_pad_rows_in_grads
+        from ..optim import (LazyAdamState, fused_table_lazy_adam,
+                             lazy_update_leaf)
+        lr = float(self.config["train"].get("learning_rate", 1e-3))
+        meta = self._emb_probe_meta
+        rating0 = (self.frating[0] if isinstance(self.frating, list)
+                   else self.frating)
+        B = batch[rating0].shape[0]
+        probes = {k: jnp.zeros((B, len(m["fields"]), m["embed_dim"]),
+                               jnp.float32) for k, m in meta.items()}
+
+        def loss_fn(ps, pr):
+            b2 = dict(batch)
+            b2["__emb_probes__"] = pr
+            return self._loss_and_aux(ps, b2, rng, states)
+
+        (loss, _), (grads, g_probes) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params, probes)
+        grads = zero_pad_rows_in_grads(grads)
+
+        (inner,) = opt_state
+        count = inner.count + 1
+        table_paths = {m["param_path"]: (k, m) for k, m in meta.items()}
+
+        def upd(path, p, g, mu, nu):
+            names = tuple(str(getattr(x, "key", x)) for x in path)
+            if names in table_paths:
+                key, m = table_paths[names]
+                ids2 = jnp.stack(
+                    [batch[f] + off
+                     for f, off in zip(m["fields"], m["offsets"])], axis=-1)
+                return fused_table_lazy_adam(m["sizes"], p, mu, nu, ids2,
+                                             g_probes[key], count, lr)
+            # dense leaves (MLP/interaction weights): same lazy-adam math
+            # the dense path's optax lazy_adam applies — the table's zero
+            # autodiff cotangent is never consumed, so XLA drops it
+            step, mu2, nu2 = lazy_update_leaf(g, mu, nu, count, lr)
+            return p + step, mu2, nu2
+
+        flat = jax.tree_util.tree_map_with_path(
+            upd, params, grads, inner.mu, inner.nu)
+        is3 = lambda x: isinstance(x, tuple) and len(x) == 3 \
+            and not isinstance(x[0], tuple)
+        params = jax.tree_util.tree_map(lambda t: t[0], flat, is_leaf=is3)
+        mu = jax.tree_util.tree_map(lambda t: t[1], flat, is_leaf=is3)
+        nu = jax.tree_util.tree_map(lambda t: t[2], flat, is_leaf=is3)
+        new_state = (LazyAdamState(count=count, mu=mu, nu=nu),)
+        return params, new_state, loss
 
     def score(self, params, batch, training: bool = False, rng=None,
               net_state=None):

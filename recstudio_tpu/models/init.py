@@ -69,7 +69,11 @@ def zero_pad_rows_in_grads(grads: Dict[str, Any]) -> Dict[str, Any]:
     padding_idx semantics)."""
     def fix(path, g):
         names = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
-        if names and "embedding" in names[-1].lower() and g.ndim >= 2:
+        # ``dense_embedding(_bias)`` is the fused FLOAT-field kernel
+        # [n_float, D] (module/ctr.py Embeddings): its row 0 is the first
+        # float field's weights, not a [PAD] vocab row — don't zero it.
+        if (names and "embedding" in names[-1].lower() and g.ndim >= 2
+                and not names[-1].lower().startswith("dense_embedding")):
             return g.at[0].set(0.0)
         return g
     return jax.tree_util.tree_map_with_path(fix, grads)

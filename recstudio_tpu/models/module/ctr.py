@@ -55,6 +55,15 @@ class DenseEmbedding(nn.Module):
 # noise next to the alternatives
 _ONEHOT_VOCAB_MAX = 1024
 
+# Discovery hook for the row-sparse CTR optimizer (baseranker.py
+# ``_ctr_sparse_grad_step``): while BaseRanker._init_variables traces the
+# net, Embeddings instances register their fused-token-table layout here
+# (trace-time Python side effect; never read inside compiled code). At
+# train-step time the engine injects ``batch["__emb_probes__"][key]`` —
+# a zeros [B, T, D] probe differentiated INSTEAD of the table, so the
+# dense [N, D] cotangent is never materialized.
+_PROBE_DISCOVERY = None  # Optional[dict]: path-key -> layout metadata
+
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_gather(sizes: tuple, table, ids):
@@ -187,7 +196,25 @@ class Embeddings(nn.Module):
             ids = jnp.stack([batch[name] + off
                              for (_, (name, _, _)), off in zip(token, offs)],
                             axis=-1)                           # [..., T]
-            fused = _fused_gather(tuple(sizes), table, ids)    # [..., T, D]
+            key = "/".join(str(p) for p in self.path)
+            if _PROBE_DISCOVERY is not None and ids.ndim == 2:
+                _PROBE_DISCOVERY[key] = {
+                    "param_path": tuple(self.path) + ("token_embedding",),
+                    "fields": tuple(name for _, (name, _, _) in token),
+                    "sizes": tuple(int(v) for v in sizes),
+                    "offsets": tuple(int(o) for o in offs),
+                    "embed_dim": int(self.embed_dim),
+                }
+            probes = (batch.get("__emb_probes__")
+                      if isinstance(batch, dict) else None)
+            if probes is not None and key in probes:
+                # row-sparse mode: the table read is non-differentiable;
+                # grads flow through the zero probe (one row per lookup)
+                fused = _fused_gather(tuple(sizes),
+                                      jax.lax.stop_gradient(table),
+                                      ids) + probes[key]
+            else:
+                fused = _fused_gather(tuple(sizes), table, ids)  # [..., T, D]
             for k, (i, _) in enumerate(token):
                 embs[i] = fused[..., k, :]
 

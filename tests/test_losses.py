@@ -84,3 +84,21 @@ def test_pointwise_bce_with_logits():
     out = float(L.BCEWithLogitLoss()(label, score))
     expected = np.mean([np.log1p(np.exp(-0.3)), np.log1p(np.exp(-0.2))])
     assert np.isclose(out, expected, atol=1e-4)
+
+
+def test_zero_pad_rows_skips_float_kernel():
+    """zero_pad_rows_in_grads zeroes [PAD] vocab rows but must NOT zero the
+    fused float-field kernel's row 0 (that row is field I1's weights, not a
+    pad entry — regression for a silent no-train bug on the first float
+    field of every fm model)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from recstudio_tpu.models.init import zero_pad_rows_in_grads
+
+    g = {"embedding": {"token_embedding": jnp.ones((5, 4)),
+                       "dense_embedding": jnp.ones((3, 4)),
+                       "dense_embedding_bias": jnp.ones((3, 4))}}
+    out = zero_pad_rows_in_grads(g)
+    assert np.all(np.asarray(out["embedding"]["token_embedding"])[0] == 0)
+    assert np.all(np.asarray(out["embedding"]["dense_embedding"])[0] == 1)
+    assert np.all(np.asarray(out["embedding"]["dense_embedding_bias"])[0] == 1)

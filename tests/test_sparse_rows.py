@@ -111,6 +111,137 @@ def test_sparse_training_end_to_end(ml100k_splits):
     assert abs(r_s["ndcg@5"] - r_d["ndcg@5"]) < 0.01, (r_s, r_d)
 
 
+def test_fused_table_lazy_adam_matches_dense():
+    """Mixed small/big-vocab fused table: the split update (one-hot slabs +
+    blocked row scatter) must reproduce dense lazy_adam + the global-PAD-row
+    zeroing of zero_pad_rows_in_grads to fp precision."""
+    from recstudio_tpu.models.optim import fused_table_lazy_adam
+
+    rng = np.random.default_rng(1)
+    sizes = (40, 2000, 8, 1500)          # fields 1 and 3 take the big path
+    offs = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    N, D, B = int(sum(sizes)), 8, 64
+    table = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+    mu = jnp.asarray(rng.normal(size=(N, D)) * 0.1, jnp.float32)
+    nu = jnp.asarray(rng.random((N, D)) * 0.01, jnp.float32)
+    ids2 = np.stack([rng.integers(0, v, size=B) + o
+                     for v, o in zip(sizes, offs)], axis=-1)
+    ids2[0, 0] = 0                        # global [PAD] row hit
+    ids2[5, 1] = ids2[9, 1]               # duplicate in a big field
+    ids2 = jnp.asarray(ids2, jnp.int32)
+    g = jnp.asarray(rng.normal(size=(B, len(sizes), D)), jnp.float32)
+    count = jnp.asarray(3, jnp.int32)
+
+    gd = jnp.zeros((N, D)).at[ids2.reshape(-1)].add(
+        g.reshape(-1, D)).at[0].set(0.0)
+    opt = lazy_adam(1e-2)
+    state = opt.init(table)._replace(count=count - 1, mu=mu, nu=nu)
+    upd, new_state = opt.update(gd, state)
+    want = table + upd
+
+    t2, mu2, nu2 = fused_table_lazy_adam(sizes, table, mu, nu, ids2, g,
+                                         count, 1e-2)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mu2), np.asarray(new_state.mu),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(nu2), np.asarray(new_state.nu),
+                               rtol=1e-5, atol=1e-7)
+
+
+@pytest.fixture(scope="module")
+def ctr_small_splits():
+    """Tiny criteo-layout dataset with one >1024 vocab so the fused table
+    exercises BOTH update paths (one-hot slabs + blocked rows)."""
+    from recstudio_tpu.data import TripletDataset
+    from recstudio_tpu.data.synthetic import generate_ctr
+    name, config = generate_ctr("ctr-sparse-test", 4000, seed=5, n_float=3,
+                                vocabs=(1600, 300, 40, 6))
+    ds = TripletDataset(name, config=config)
+    return ds.build(fmeval=True, split_mode="entry",
+                    split_ratio=[0.8, 0.1, 0.1])
+
+
+def _build_deepfm(ctr_small_splits, sparse_rows, epochs=0):
+    trn, val, tst = ctr_small_splits
+    cls, conf = get_model("DeepFM")
+    conf["train"].update(epochs=epochs, batch_size=256, learner="sparse_adam",
+                         sparse_rows=sparse_rows, epoch_scan="true")
+    conf["eval"].update(batch_size=512, val_metrics=["auc"],
+                        test_metrics=["auc", "logloss"])
+    seed_everything(11)
+    m = cls(conf)
+    m.fit(trn, None, run_mode="light")
+    return m, trn
+
+
+def test_ctr_sparse_step_matches_dense_single_step(ctr_small_splits):
+    """One ranker _grad_step from identical state: probe-grad + fused-table
+    row updates vs dense autodiff + optax lazy_adam."""
+    m, trn = _build_deepfm(ctr_small_splits, "auto")
+    assert m._ctr_sparse_enabled(), "CTR sparse path did not engage"
+    assert any(any(v > 1024 for v in meta["sizes"])
+               for meta in m._emb_probe_meta.values())
+    batch = batch_to_device(next(iter(trn.train_loader(batch_size=256,
+                                                       shuffle=False))))
+    opt = m.optimizers[0]["optimizer"]
+    state0 = m.opt_states[0]
+    rng = jax.random.PRNGKey(3)
+
+    m._ctr_sparse_flag = True
+    p_s, s_s, l_s = m._grad_step(opt, m.params, state0, batch, rng, m.states)
+    m._ctr_sparse_flag = False
+    p_d, s_d, l_d = m._grad_step(opt, m.params, state0, batch, rng, m.states)
+
+    np.testing.assert_allclose(float(l_s), float(l_d), rtol=1e-6)
+    flat_s = jax.tree_util.tree_flatten_with_path(p_s)[0]
+    flat_d = dict(jax.tree_util.tree_flatten_with_path(p_d)[0])
+    assert len(flat_s) > 4                 # tables AND mlp/linear leaves
+    for kp, leaf in flat_s:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_d[kp]), rtol=2e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(kp))
+    for tree_s, tree_d in ((s_s[0].mu, s_d[0].mu), (s_s[0].nu, s_d[0].nu)):
+        fs = jax.tree_util.tree_flatten_with_path(tree_s)[0]
+        fd = dict(jax.tree_util.tree_flatten_with_path(tree_d)[0])
+        for kp, leaf in fs:
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(fd[kp]), rtol=2e-4, atol=1e-6,
+                err_msg=jax.tree_util.keystr(kp))
+    assert int(s_s[0].count) == int(s_d[0].count) == 1
+
+
+def test_ctr_sparse_training_end_to_end(ctr_small_splits):
+    """3 epochs sparse vs dense: same trajectory within fp tolerance, same
+    eval metrics."""
+    trn, val, tst = ctr_small_splits
+    m_s, _ = _build_deepfm(ctr_small_splits, "auto", epochs=3)
+    m_d, _ = _build_deepfm(ctr_small_splits, "false", epochs=3)
+    assert m_s._ctr_sparse_flag and not m_d._ctr_sparse_flag
+    fs = jax.tree_util.tree_flatten_with_path(m_s.params)[0]
+    fd = dict(jax.tree_util.tree_flatten_with_path(m_d.params)[0])
+    for kp, leaf in fs:
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(fd[kp]),
+                                   atol=5e-3, err_msg=jax.tree_util.keystr(kp))
+    r_s = m_s.evaluate(tst, verbose=False)
+    r_d = m_d.evaluate(tst, verbose=False)
+    assert abs(r_s["auc"] - r_d["auc"]) < 0.01, (r_s, r_d)
+
+
+def test_ctr_sparse_gate_rejects_ineligible(ctr_small_splits):
+    m, _ = _build_deepfm(ctr_small_splits, "auto")
+    for key, val in (("learner", "adam"), ("weight_decay", 0.01),
+                     ("grad_clip_norm", 1.0), ("scheduler", "exponential"),
+                     ("sparse_rows", "false")):
+        m.__dict__.pop("_ctr_sparse_flag", None)
+        old = m.config["train"].get(key)
+        m.config["train"][key] = val
+        assert not m._ctr_sparse_enabled(), key
+        m.config["train"][key] = old
+    m.__dict__.pop("_ctr_sparse_flag", None)
+    assert m._ctr_sparse_enabled()
+
+
 def test_sparse_gate_rejects_ineligible(ml100k_splits):
     m, _ = _build_bpr(ml100k_splits, "auto")
     # flip configs that break lazy-adam equivalence: each must disengage
