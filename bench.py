@@ -222,6 +222,55 @@ def _run_section(section: str) -> dict:
                 f"{prefix} auc": rec["auc"],
                 f"{prefix} vs_baseline": round(
                     rec["value"] / BASELINE_EXAMPLES_PER_S, 3)}
+    if section == "graph_scale":
+        # LightGCN at amazon-book shape (144k nodes, ~4.8M bidirectional
+        # edges): whole-graph ELLPACK propagation per step. Anchor: the
+        # reference's DGL-CUDA spmm is HBM-bound on its 2080 Ti-class card
+        # (616 GB/s): per step ~2 (fwd+bwd) * n_layers * E * D * 4 B * 2
+        # (read messages + write nodes) of traffic amortized over the
+        # batch, capped by the 200k overhead bound like every cheap model.
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        import scale_bench
+        if SMOKE:
+            from recstudio_tpu.data import synthetic
+            synthetic.SHAPES["graph-smoke-shape"] = (300, 500, 30_000)
+            rec = scale_bench.run_scale_graph("graph-smoke-shape",
+                                              epochs_timed=1, force_ell=True)
+        else:
+            rec = scale_bench.run_scale_graph("amazon-book-shape")
+        nodes = rec["n_nodes"]
+        scale = (f"{round(nodes / 1000)}k" if nodes >= 1000 else str(nodes))
+        prefix = f"LightGCN@{scale}-nodes"
+        bs = 8192
+        step_bytes = (2 * rec["n_layers"] * rec["n_edges"]
+                      * rec["embed_dim"] * 4 * 2)
+        anchor = min(BASELINE_EXAMPLES_PER_S, bs * 616e9 / step_bytes)
+        return {f"{prefix} examples/s": rec["value"],
+                f"{prefix} eval qps": rec["eval_qps"],
+                f"{prefix} recall@20": rec["recall@20"],
+                f"{prefix} anchor ex/s": round(anchor, 1),
+                f"{prefix} vs_baseline": round(rec["value"] / anchor, 3)}
+    if section.startswith("ctr_bigvocab_"):
+        # dense Adam vs the row-sparse fused-table optimizer at the
+        # real-criteo vocabulary regime (multi-million-row tables): dense
+        # pays 5+ full [N, D] HBM round-trips of moment traffic per step,
+        # the regime the reference's torch.optim dense updates hit first
+        # (reference recommender.py:594-648). One learner per section so
+        # each leg gets a fresh process (and fresh device memory).
+        learner = section[len("ctr_bigvocab_"):]
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        import scale_bench
+        shape = "ctr-40000" if SMOKE else "criteo-10m-bigvocab-shape"
+        rec = scale_bench.run_scale_ctr(shape, epochs_timed=1 if SMOKE else 2,
+                                        learner=learner)
+        rows = rec["emb_rows"]
+        scale = (f"{round(rows / 1_000_000)}M" if rows >= 500_000
+                 else f"{rows // 1000}k")
+        prefix = f"DeepFM@{scale}-emb-rows/{learner}"
+        return {f"{prefix} examples/s": rec["value"],
+                f"{prefix} auc": rec["auc"]}
     raise SystemExit(f"unknown section {section}")
 
 
@@ -231,8 +280,9 @@ def _run_section(section: str) -> dict:
 # case — BENCH_CACHE_DIR persists across runs on this machine); the global
 # deadline, not the caps, is the real guard on a cold machine.
 SECTIONS = [("bpr", 900), ("ctr_scale", 900), ("seq_scale", 1200),
-            ("scale", 900), ("eval", 600), ("deepfm", 600),
-            ("sasrec", 600), ("lightgcn", 600)]
+            ("ctr_bigvocab_adam", 900), ("ctr_bigvocab_sparse_adam", 900),
+            ("graph_scale", 900), ("scale", 900), ("eval", 600),
+            ("deepfm", 600), ("sasrec", 600), ("lightgcn", 600)]
 
 
 def _headline(results: dict) -> str:

@@ -23,6 +23,9 @@ SHAPES = {
     "ml-1m-shape": (6040, 3706, 1_000_209),
     "ml-10m-shape": (69878, 10677, 10_000_054),
     "ml-20m-shape": (138493, 26744, 20_000_263),
+    # LightGCN-paper amazon-book: 144k graph nodes — well past the dense
+    # [N, N] adjacency budget, exercising the ELLPACK propagation path
+    "amazon-book-shape": (52643, 91599, 2_984_108),
 }
 
 
@@ -107,7 +110,20 @@ CTR_VOCABS = (300_000, 200_000, 80_000, 40_000, 20_000, 10_000, 5_000,
 CTR_SHAPES = {
     "criteo-1m-shape": 1_000_000,
     "criteo-10m-shape": 10_000_000,
+    # real-criteo vocabulary regime: the hashed fields hold tens of
+    # millions of rows — the scale where dense Adam's full-table moment
+    # traffic becomes the step time (docs/performance.md; the row-sparse
+    # learner exists for exactly this shape)
+    "criteo-10m-bigvocab-shape": 10_000_000,
 }
+# per-shape multiplier applied to the >1024 vocabularies (small enums keep
+# their natural sizes); uniques are bounded by the Zipf draw's coverage
+CTR_VOCAB_MULT = {"criteo-10m-bigvocab-shape": 16}
+
+
+def ctr_shape_vocabs(shape_name: str) -> Tuple[int, ...]:
+    mult = CTR_VOCAB_MULT.get(shape_name, 1)
+    return tuple(v * mult if v > 1024 else v for v in CTR_VOCABS)
 
 
 def generate_ctr(name: str, n_rows: int, out_dir: Optional[str] = None,

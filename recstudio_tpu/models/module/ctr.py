@@ -65,8 +65,7 @@ _ONEHOT_VOCAB_MAX = 1024
 _PROBE_DISCOVERY = None  # Optional[dict]: path-key -> layout metadata
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused_gather(sizes: tuple, table, ids):
+def _fused_gather_impl(sizes: tuple, table, ids):
     """Gather [..., T] per-field offset ids from the concatenated [N, D]
     token table, with a sort-free, (mostly) scatter-free backward.
 
@@ -117,8 +116,13 @@ def _fused_gather(sizes: tuple, table, ids):
     return jnp.stack(outs, axis=1).reshape(*lead, len(sizes), D)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_gather(sizes: tuple, table, ids):
+    return _fused_gather_impl(sizes, table, ids)
+
+
 def _fused_gather_fwd(sizes, table, ids):
-    return _fused_gather(sizes, table, ids), ids
+    return _fused_gather_impl(sizes, table, ids), ids
 
 
 def _fused_gather_bwd(sizes, ids, ct):
@@ -209,10 +213,14 @@ class Embeddings(nn.Module):
                       if isinstance(batch, dict) else None)
             if probes is not None and key in probes:
                 # row-sparse mode: the table read is non-differentiable;
-                # grads flow through the zero probe (one row per lookup)
-                fused = _fused_gather(tuple(sizes),
-                                      jax.lax.stop_gradient(table),
-                                      ids) + probes[key]
+                # grads flow through the zero probe (one row per lookup).
+                # Calls the undecorated impl: routing through the custom-VJP
+                # wrapper makes autodiff EVALUATE the dense [N, D] backward
+                # and discard it behind the stop_gradient (custom-vjp calls
+                # are not DCE'd through) — measured +20 ms/step at 6.5M rows
+                fused = _fused_gather_impl(tuple(sizes),
+                                           jax.lax.stop_gradient(table),
+                                           ids) + probes[key]
             else:
                 fused = _fused_gather(tuple(sizes), table, ids)  # [..., T, D]
             for k, (i, _) in enumerate(token):

@@ -124,24 +124,19 @@ def row_lazy_adam(table: jax.Array, mu: jax.Array, nu: jax.Array,
     return table, mu, nu
 
 
-def blocked_row_lazy_adam(table: jax.Array, mu: jax.Array, nu: jax.Array,
-                          ids: jax.Array, g: jax.Array, count: jax.Array,
-                          learning_rate: float, b1: float = 0.9,
-                          b2: float = 0.999, eps: float = 1e-8):
-    """``row_lazy_adam`` for pre-blocked lookups: ``ids [F, B]`` /
+def _blocked_dedup(ids: jax.Array, g: jax.Array):
+    """Aggregate duplicate lookups for pre-blocked ids ``[F, B]`` /
     ``g [F, B, D]`` where the F blocks index DISJOINT id ranges (the fused
-    token table's per-field offset slabs, models/module/ctr.py). Duplicate
-    ids can then only occur within a block, so per-block sort + one global
-    segment-sum is exactly the dense gather cotangent — and F row-wise
-    sorts of B keys replace one F*B argsort (the round-3 lesson: a single
-    213k argsort inside the epoch scan costs more than the scatter it
-    avoids; 8k-row batched sorts do not).
-
-    Pad/touched semantics match ``lazy_adam`` + ``zero_pad_rows_in_grads``:
-    the global row 0 and rows with an all-zero aggregated gradient are
-    skipped."""
+    token table's per-field offset slabs): duplicates can then only occur
+    within a block, so per-block sort + one global segment-sum is exactly
+    the dense gather cotangent — and F row-wise sorts of B keys replace one
+    F*B argsort (the round-3 lesson: a single 213k argsort inside the epoch
+    scan costs more than the scatter it avoids; 8k-row batched sorts do
+    not). Returns ``(ids [F*B], agg [F*B, D])``; slots that are not a
+    segment head come back with id 0 and an all-zero row (callers treat
+    both as "untouched")."""
     F, B = ids.shape
-    K, N, D = F * B, table.shape[0], g.shape[-1]
+    K, D = F * B, g.shape[-1]
     order = jnp.argsort(ids, axis=-1)
     sid = jnp.take_along_axis(ids, order, axis=-1)
     sg = jnp.take_along_axis(g, order[..., None], axis=1)
@@ -151,22 +146,8 @@ def blocked_row_lazy_adam(table: jax.Array, mu: jax.Array, nu: jax.Array,
     seg = jnp.cumsum(fh) - 1                 # globally contiguous segments
     agg = jax.ops.segment_sum(sg.reshape(K, D), seg, num_segments=K)
     seg_ids = jax.ops.segment_max(sid.reshape(-1), seg, num_segments=K)
-    valid = ((jnp.arange(K) < fh.sum()) & (seg_ids > 0)
-             & jnp.any(jnp.abs(agg) > 0, axis=-1))
-    read = jnp.where(valid, seg_ids, 0)
-    mu_r = mu.at[read].get(mode="promise_in_bounds")
-    nu_r = nu.at[read].get(mode="promise_in_bounds")
-    cf = count.astype(jnp.float32)
-    bc1 = 1.0 - b1 ** cf
-    bc2 = 1.0 - b2 ** cf
-    mu2 = mu_r + (1.0 - b1) * (agg - mu_r)
-    nu2 = nu_r + (1.0 - b2) * (agg * agg - nu_r)
-    step = -learning_rate * (mu2 / bc1) / (jnp.sqrt(nu2 / bc2) + eps)
-    w = jnp.where(valid, seg_ids, N)
-    table = table.at[w].add(step.astype(table.dtype), mode="drop")
-    mu = mu.at[w].set(mu2.astype(mu.dtype), mode="drop")
-    nu = nu.at[w].set(nu2.astype(nu.dtype), mode="drop")
-    return table, mu, nu
+    live = jnp.arange(K) < fh.sum()
+    return jnp.where(live, seg_ids, 0), agg
 
 
 def fused_table_lazy_adam(sizes: Sequence[int], table: jax.Array,
@@ -180,28 +161,30 @@ def fused_table_lazy_adam(sizes: Sequence[int], table: jax.Array,
     (models/module/ctr.py ``Embeddings``): per-LOOKUP gradients
     ``g [B, T, D]`` for offset ids ``ids2 [B, T]`` arrive from the probe
     trick (baseranker.py ``_ctr_sparse_grad_step``) instead of a dense
-    [N, D] cotangent, and the update splits by the same vocab cutoff as
-    ``_fused_gather``'s backward:
+    [N, D] cotangent. Candidate update rows split by the same vocab cutoff
+    as ``_fused_gather``'s backward:
 
-    - small-vocab fields aggregate EXACTLY via a one-hot MXU matmul and
-      update their slab in place (static dynamic_update_slice: O(V*D)
-      traffic per slab, ~1k rows total at criteo shape);
+    - small-vocab fields aggregate EXACTLY via a one-hot MXU matmul (every
+      slab row is a candidate, ~1.5k rows total at criteo shape);
     - big-vocab fields dedup per field (slabs are disjoint — see
-      ``blocked_row_lazy_adam``) and share one O(B) gather + scatter.
+      ``_blocked_dedup``), contributing B candidates per field;
 
-    Per-step HBM traffic is O(B*D + V_small*D) instead of dense Adam's
-    5 full [N, D] round-trips — the scale wall the reference hits with
-    torch.optim's dense updates (recstudio/model/basemodel/
-    recommender.py:594-648). Trajectory parity with the dense
-    ``learner: sparse_adam`` path is tested in tests/test_sparse_rows.py.
+    then ONE gather reads the candidates' moments and ONE scatter per
+    buffer (params add, mu/nu set) applies the update — no chained
+    per-slab dynamic_update_slices on the [N, D] buffers (a 51-deep DUS
+    chain risks unaliased full-table temporaries inside the epoch scan).
+    Rows with id 0 (the global [PAD] row, zero_pad_rows_in_grads
+    semantics) or an all-zero aggregated gradient are untouched, matching
+    dense ``lazy_adam``. Per-step HBM traffic is O((B*F_big + V_small)*D)
+    instead of dense Adam's 5+ full [N, D] round-trips — the scale wall
+    the reference hits with torch.optim's dense updates
+    (recstudio/model/basemodel/recommender.py:594-648). Trajectory parity
+    with the dense path is tested in tests/test_sparse_rows.py.
     """
     D = table.shape[-1]
+    N = table.shape[0]
     offs = np.concatenate([[0], np.cumsum(sizes)[:-1]])
-    cf = count.astype(jnp.float32)
-    bc1 = 1.0 - b1 ** cf
-    bc2 = 1.0 - b2 ** cf
-    B = ids2.shape[0]
-    big = [t for t, v in enumerate(sizes) if v > onehot_vocab_max]
+    id_parts, agg_parts = [], []
     for t, v in enumerate(sizes):
         if v > onehot_vocab_max:
             continue
@@ -211,22 +194,29 @@ def fused_table_lazy_adam(sizes: Sequence[int], table: jax.Array,
         slab_g = jnp.dot(onehot.astype(g.dtype), g[:, t, :],
                          preferred_element_type=g.dtype,
                          precision=jax.lax.Precision.HIGHEST)
-        if off == 0:                          # global [PAD] row semantics
-            slab_g = slab_g.at[0].set(0.0)
-        p_s = jax.lax.dynamic_slice_in_dim(table, off, v)
-        mu_s = jax.lax.dynamic_slice_in_dim(mu, off, v)
-        nu_s = jax.lax.dynamic_slice_in_dim(nu, off, v)
-        step, mu2, nu2 = lazy_update_leaf(slab_g, mu_s, nu_s, count,
-                                          learning_rate, b1, b2, eps)
-        table = jax.lax.dynamic_update_slice_in_dim(
-            table, (p_s + step).astype(table.dtype), off, 0)
-        mu = jax.lax.dynamic_update_slice_in_dim(
-            mu, mu2.astype(mu.dtype), off, 0)
-        nu = jax.lax.dynamic_update_slice_in_dim(
-            nu, nu2.astype(nu.dtype), off, 0)
+        id_parts.append(jnp.arange(off, off + v, dtype=jnp.int32))
+        agg_parts.append(slab_g)
+    big = [t for t, v in enumerate(sizes) if v > onehot_vocab_max]
     if big:
         bids = jnp.stack([ids2[:, t] for t in big], 0)          # [F, B]
         bg = jnp.stack([g[:, t, :] for t in big], 0)            # [F, B, D]
-        table, mu, nu = blocked_row_lazy_adam(
-            table, mu, nu, bids, bg, count, learning_rate, b1, b2, eps)
+        ids_b, agg_b = _blocked_dedup(bids, bg)
+        id_parts.append(ids_b)
+        agg_parts.append(agg_b)
+    ids = jnp.concatenate(id_parts)
+    agg = jnp.concatenate(agg_parts)
+    valid = (ids > 0) & jnp.any(jnp.abs(agg) > 0, axis=-1)
+    read = jnp.where(valid, ids, 0)
+    mu_r = mu.at[read].get(mode="promise_in_bounds")
+    nu_r = nu.at[read].get(mode="promise_in_bounds")
+    cf = count.astype(jnp.float32)
+    bc1 = 1.0 - b1 ** cf
+    bc2 = 1.0 - b2 ** cf
+    mu2 = mu_r + (1.0 - b1) * (agg - mu_r)
+    nu2 = nu_r + (1.0 - b2) * (agg * agg - nu_r)
+    step = -learning_rate * (mu2 / bc1) / (jnp.sqrt(nu2 / bc2) + eps)
+    w = jnp.where(valid, ids, N)             # OOB slots are dropped
+    table = table.at[w].add(step.astype(table.dtype), mode="drop")
+    mu = mu.at[w].set(mu2.astype(mu.dtype), mode="drop")
+    nu = nu.at[w].set(nu2.astype(nu.dtype), mode="drop")
     return table, mu, nu

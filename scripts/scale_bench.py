@@ -152,15 +152,98 @@ def run_scale_seq(shape_name: str, max_seq_len: int = 200,
     return rec
 
 
-def run_scale_ctr(shape_name: str, model: str = "DeepFM",
-                  epochs_timed: int = 5):
-    """CTR ranker at criteo shape: 13 float + 26 Zipf-token fields
-    (~720k embedding rows) with a PLANTED logistic signal, so the reported
-    test AUC measures real learning. Exercises the fused token-table
-    embedding gather (one offset gather for all 26 categorical fields) and
-    the global-AUC ranker eval beyond ml-100k."""
+def run_scale_graph(shape_name: str = "amazon-book-shape",
+                    epochs_timed: int = 3, force_ell: bool = False):
+    """LightGCN past the dense-adjacency budget: whole-graph propagation per
+    training step over the ELLPACK layout (graph/base.py _build_ell — padded
+    gathers, symmetric-VJP backward, no scatters). The reference handles
+    this size class with DGL CUDA spmm (reference module/graphmodule.py:201).
+    """
     from recstudio_tpu.data import TripletDataset
-    from recstudio_tpu.data.synthetic import CTR_SHAPES, generate_ctr
+    from recstudio_tpu.data.synthetic import SHAPES, generate
+    from recstudio_tpu.utils import get_model, seed_everything
+
+    n_users, n_items, n_inters = SHAPES[shape_name]
+    t0 = time.time()
+    name, config = generate(shape_name, n_users, n_items, n_inters, seed=7)
+    t_gen = time.time() - t0
+
+    t0 = time.time()
+    ds = TripletDataset(name, config=config)
+    trn, val, tst = ds.build(split_ratio=[0.8, 0.1, 0.1])
+    t_etl = time.time() - t0
+
+    model_class, conf = get_model("LightGCN")
+    conf["train"].update(epochs=1, batch_size=8192, benchmark_mode=True)
+    conf["eval"].update(batch_size=512, cutoff=[20], val_metrics=["ndcg"],
+                        test_metrics=["ndcg", "recall"], topk=100)
+    seed_everything(2022)
+    from recstudio_tpu.models.graph.base import BaseGraphRetriever
+    old_budget = BaseGraphRetriever._DENSE_ADJ_BYTES
+    if force_ell:               # smoke shapes fit the dense budget otherwise
+        BaseGraphRetriever._DENSE_ADJ_BYTES = 0
+    try:
+        model = model_class(conf)
+
+        t0 = time.time()
+        model.fit(trn, None, run_mode="light")
+    finally:
+        BaseGraphRetriever._DENSE_ADJ_BYTES = old_budget
+    for _ in range(2):
+        loss = model.training_epoch(0)
+    assert np.isfinite(float(loss))
+    t_compile = time.time() - t0
+    assert model._adj is None and model._prop_m is None, \
+        "graph fits the dense budget — not the at-scale path"
+    assert getattr(model, "_sym_spmm", None) is not None
+
+    n_examples = len(trn.data_index)
+    t0 = time.time()
+    losses = [model.training_epoch(0) for _ in range(epochs_timed)]
+    final = float(losses[-1])
+    dt = time.time() - t0
+    assert np.isfinite(final)
+
+    model._epoch_refresh(-1)
+    n_queries = len(tst.data_index)
+    out = model._eval_epoch(tst, ["ndcg", "recall"], cutoffs=[20])  # compile
+    t0 = time.time()
+    out = model._eval_epoch(tst, ["ndcg", "recall"], cutoffs=[20])
+    t_eval = time.time() - t0
+
+    rec = {
+        "metric": f"LightGCN/{shape_name} train throughput",
+        "value": round(n_examples * epochs_timed / dt, 1),
+        "unit": "examples/s",
+        "n_inters": n_inters,
+        "n_nodes": n_users + n_items,
+        "n_edges": 2 * len(trn.data_index),
+        "embed_dim": conf["model"].get("embed_dim"),
+        "n_layers": conf["model"].get("n_layers"),
+        "gen_s": round(t_gen, 1),
+        "etl_s": round(t_etl, 1),
+        "compile_s": round(t_compile, 1),
+        "epoch_s": round(dt / epochs_timed, 3),
+        "eval_pass_s": round(t_eval, 3),
+        "eval_qps": round(n_queries / t_eval, 1),
+        "recall@20": round(out["recall@20"], 4),
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def run_scale_ctr(shape_name: str, model: str = "DeepFM",
+                  epochs_timed: int = 5, learner: str = "adam"):
+    """CTR ranker at criteo shape: 13 float + 26 Zipf-token fields
+    (~720k embedding rows; tens of millions under the -bigvocab shapes)
+    with a PLANTED logistic signal, so the reported test AUC measures real
+    learning. Exercises the fused token-table embedding gather (one offset
+    gather for all 26 categorical fields) and the global-AUC ranker eval
+    beyond ml-100k. ``learner='sparse_adam'`` engages the row-sparse
+    fused-table optimizer (baseranker.py _ctr_sparse_grad_step)."""
+    from recstudio_tpu.data import TripletDataset
+    from recstudio_tpu.data.synthetic import (CTR_SHAPES, ctr_shape_vocabs,
+                                              generate_ctr)
     from recstudio_tpu.utils import get_model, seed_everything
 
     n_rows = CTR_SHAPES.get(shape_name)
@@ -169,7 +252,8 @@ def run_scale_ctr(shape_name: str, model: str = "DeepFM",
         n_rows = int(shape_name.split("-")[1])
         name, config = generate_ctr(shape_name, n_rows, seed=11)
     else:
-        name, config = generate_ctr(shape_name, n_rows, seed=11)
+        name, config = generate_ctr(shape_name, n_rows, seed=11,
+                                    vocabs=ctr_shape_vocabs(shape_name))
     t_gen = time.time() - t0
 
     t0 = time.time()
@@ -179,7 +263,11 @@ def run_scale_ctr(shape_name: str, model: str = "DeepFM",
     t_etl = time.time() - t0
 
     model_class, conf = get_model(model)
-    conf["train"].update(epochs=1, batch_size=8192, benchmark_mode=True)
+    # 10M-row splits (1.2 GiB staged) fit HBM comfortably next to the
+    # tables; raise the auto budget so the learner comparison measures
+    # optimizer traffic, not host-chunk staging
+    conf["train"].update(epochs=1, batch_size=8192, benchmark_mode=True,
+                         learner=learner, device_data_budget=6 << 30)
     conf["eval"].update(batch_size=8192, val_metrics=["auc"],
                         test_metrics=["auc", "logloss"])
     seed_everything(2022)
@@ -204,11 +292,15 @@ def run_scale_ctr(shape_name: str, model: str = "DeepFM",
     res = m.evaluate(tst, verbose=False)
     t_eval = time.time() - t0
 
+    emb_rows = sum(int(trn.num_values(f)) for f in sorted(trn.field2type)
+                   if trn.field2type.get(f) == "token")
     rec = {
         "metric": f"{model}/{shape_name} train throughput",
         "value": round(n_examples * epochs_timed / dt, 1),
         "unit": "examples/s",
         "n_rows": n_rows,
+        "learner": learner,
+        "emb_rows": emb_rows,
         "embed_dim": conf["model"].get("embed_dim"),
         "gen_s": round(t_gen, 1),
         "etl_s": round(t_etl, 1),
