@@ -66,6 +66,40 @@ def _apply_scaler(col: np.ndarray, spec: str) -> np.ndarray:
     raise ValueError(f"unsupported float preprocessor: {spec}")
 
 
+class _LazyToken2Idx:
+    """``field -> {token: idx}`` view derived from ``field2tokens`` on first
+    access. The dicts are pure API surface (reference dataset.py:417-474
+    exposes them; nothing in this framework consumes them), and pickling
+    millions of numpy-scalar dict entries dominated dataset-cache load time
+    at big-vocab CTR shapes (~4.5 min of a 3.3 GB pickle), so they are
+    built lazily and excluded from the cache."""
+
+    def __init__(self, field2tokens: Dict[str, np.ndarray]):
+        self._field2tokens = field2tokens
+        self._built: Dict[str, Dict] = {}
+
+    def __getitem__(self, field):
+        if field not in self._built:
+            self._built[field] = {
+                t: i for i, t in enumerate(self._field2tokens[field])}
+        return self._built[field]
+
+    def __contains__(self, field):
+        return field in self._field2tokens
+
+    def __iter__(self):
+        return iter(self._field2tokens)
+
+    def __len__(self):
+        return len(self._field2tokens)
+
+    def keys(self):
+        return self._field2tokens.keys()
+
+    def items(self):
+        return ((f, self[f]) for f in self._field2tokens)
+
+
 class TripletDataset:
     r"""Core interaction dataset: ``<user, item, rating, [time]>`` triplets.
 
@@ -113,7 +147,7 @@ class TripletDataset:
     def _init_common_field(self):
         self.field2type: Dict[str, str] = {}
         self.field2tokens: Dict[str, np.ndarray] = {}
-        self.field2token2idx: Dict[str, Dict[str, int]] = {}
+        self.field2token2idx = _LazyToken2Idx(self.field2tokens)
         self.field2maxlen: Dict[str, int] = {}
         c = self.config
         self.fuid = parse_field(c["user_id_field"]).name if c.get("user_id_field") else None
@@ -154,6 +188,9 @@ class TripletDataset:
             with open(path, "rb") as f:
                 state = pickle.load(f)
             self.__dict__.update(state)
+            # not pickled (or pickled eagerly by a pre-lazy cache): derive
+            # from the restored field2tokens
+            self.field2token2idx = _LazyToken2Idx(self.field2tokens)
             self.logger.info(f"loaded cached dataset from {path}")
             return True
         return None
@@ -163,7 +200,7 @@ class TripletDataset:
             return
         os.makedirs(DEFAULT_CACHE_DIR, exist_ok=True)
         state = {k: v for k, v in self.__dict__.items()
-                 if k not in ("logger",)}
+                 if k not in ("logger", "field2token2idx")}
         with open(self._cache_path(), "wb") as f:
             pickle.dump(state, f)
 
@@ -442,7 +479,6 @@ class TripletDataset:
             offsets = np.cumsum([0] + [len(p) for p in pools])
             parts = [pool2global[off + codes]
                      for (codes, _), off in zip(token_pairs, offsets[:-1])]
-            token2idx = {t: i for i, t in enumerate(tokens)}
             # when entity ids from network feats extend a core id space
             # (e.g. KG entities aliased onto items), the core fields keep the
             # compact vocab [0, max core id] while network fields see the full
@@ -459,13 +495,11 @@ class TripletDataset:
                 if field not in self.field2tokens:
                     field_is_core = any(
                         f == field and core for (_, f), core in zip(columns, is_core))
+                    # field2token2idx derives lazily from these entries
                     if has_network and field_is_core:
                         self.field2tokens[field] = tokens[:core_vocab_size]
-                        self.field2token2idx[field] = {
-                            t: i for i, t in enumerate(tokens[:core_vocab_size])}
                     else:
                         self.field2tokens[field] = tokens
-                        self.field2token2idx[field] = token2idx
             for (feat, field), codes_part in zip(columns, parts):
                 if self.field2type[field].endswith("seq"):
                     lens = feat[field].map(len).values

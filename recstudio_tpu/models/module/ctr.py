@@ -214,13 +214,14 @@ class Embeddings(nn.Module):
             if probes is not None and key in probes:
                 # row-sparse mode: the table read is non-differentiable;
                 # grads flow through the zero probe (one row per lookup).
-                # Calls the undecorated impl: routing through the custom-VJP
-                # wrapper makes autodiff EVALUATE the dense [N, D] backward
-                # and discard it behind the stop_gradient (custom-vjp calls
-                # are not DCE'd through) — measured +20 ms/step at 6.5M rows
-                fused = _fused_gather_impl(tuple(sizes),
-                                           jax.lax.stop_gradient(table),
-                                           ids) + probes[key]
+                # ONE plain gather, not the one-hot/_fused_gather split:
+                # with no backward through the table, the one-hot matmuls
+                # only pressure XLA's layout assignment into a row-MINOR
+                # {0,1} table layout whose big-field gather lowers to a
+                # full-table windowed scan (measured +20 ms/step at 6.5M
+                # rows; values are bit-identical either way)
+                fused = jax.lax.stop_gradient(table).at[ids].get(
+                    mode="promise_in_bounds") + probes[key]
             else:
                 fused = _fused_gather(tuple(sizes), table, ids)  # [..., T, D]
             for k, (i, _) in enumerate(token):

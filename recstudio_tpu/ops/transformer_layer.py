@@ -40,6 +40,7 @@ larger example tiles.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -165,10 +166,15 @@ class _DropRng:
         if self.interpret:
             self.n += 1
             u = jax.random.uniform(jax.random.fold_in(self.key, self.n), shape)
-        else:
-            bits = pltpu.prng_random_bits(shape)                    # uint32
-            u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))  # [0, 1)
-        return (u >= p).astype(jnp.float32) * (1.0 / (1.0 - p))
+            return (u >= p).astype(jnp.float32) * (1.0 / (1.0 - p))
+        # integer-domain compare: bits >= p*2^24 over the high 24 bits is
+        # exactly (u >= p) for u = bits>>8 / 2^24, without the int->f32
+        # convert + scale per element (the kernel is VPU-bound; dropout
+        # masks are its largest elementwise term)
+        bits = pltpu.prng_random_bits(shape) >> 8                   # 24 bits
+        thr = jnp.uint32(min(math.ceil(p * (1 << 24)), (1 << 24) - 1))
+        return jnp.where(bits >= thr, jnp.float32(1.0 / (1.0 - p)),
+                         jnp.float32(0.0))
 
 
 def _act_fn(name: str):
