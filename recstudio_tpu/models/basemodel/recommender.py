@@ -37,7 +37,8 @@ import optax
 
 from ... import eval as eval_mod
 from ...utils import (color_dict_normal, deep_update, get_base_model_config,
-                      get_logger, root_key, seed_everything)
+                      get_logger, root_key, seed_everything,
+                      set_matmul_precision)
 from ...utils.callbacks import EarlyStopping, SaveLastCallback
 from ..init import init_parameters, zero_pad_rows_in_grads
 
@@ -796,10 +797,7 @@ class Recommender:
         self.run_mode = run_mode
         self._train_data = train_data
 
-        prec = str(self.config["train"].get("precision", "fp32")).lower()
-        if prec in ("bf16", "bfloat16"):
-            # one-pass bf16 MXU matmuls for f32 operands (params stay f32)
-            jax.config.update("jax_default_matmul_precision", "bfloat16")
+        set_matmul_precision(self.config["train"].get("precision"))
 
         # persistent XLA compilation cache: repeat runs of the same model/
         # shape skip the (minutes-long for epoch-block programs) compile

@@ -188,6 +188,8 @@ def load_for_serving(checkpoint_path: str, train_data):
             payload = pickle.load(f)
     model_class, _ = get_model(payload["model"])
     seed_everything(payload["config"]["train"].get("seed") or 2022)
+    from .utils import set_matmul_precision
+    set_matmul_precision(payload["config"]["train"].get("precision"))
     model = model_class(payload["config"])
     model._init_model(train_data)        # build nets from the data schema
     model._init_parameter(train_data)    # template params for from_bytes

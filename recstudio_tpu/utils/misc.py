@@ -10,9 +10,41 @@
 """
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
+
+# train.precision -> jax_default_matmul_precision. An EXPLICIT precision is
+# mandatory on this TPU runtime: leaving the flag unset ("default") makes
+# XLA pick an exact-f32 algorithm for f32 operands that measures 10-1000x
+# slower than the bf16-based algorithms on v5e-class chips (a [2048^2]
+# square dot measured 2.2 s at default vs 1.1-1.6 ms at any explicit
+# setting). ``bf16_3x`` (3-pass compensated bf16, ~21 mantissa bits) is
+# numerically f32-equivalent for this workload and is the framework
+# default; ``bf16`` is the one-pass MXU mode; ``fp32`` requests the exact
+# algorithm explicitly ("highest").
+_PRECISION_MAP = {
+    "bf16_3x": "BF16_BF16_F32_X3",
+    "bf16": "bfloat16",
+    "bfloat16": "bfloat16",
+    "fp32": "highest",
+    "float32": "highest",
+    "highest": "highest",
+}
+
+
+def set_matmul_precision(precision: Optional[str]) -> None:
+    """Set the process-wide matmul precision from a ``train.precision``
+    string (``bf16_3x`` | ``bf16`` | ``fp32``; None -> ``bf16_3x``)."""
+    import jax
+    key = str(precision or "bf16_3x").lower()
+    try:
+        value = _PRECISION_MAP[key]
+    except KeyError:
+        raise ValueError(
+            f"train.precision={precision!r}: expected one of "
+            f"{sorted(set(_PRECISION_MAP))}") from None
+    jax.config.update("jax_default_matmul_precision", value)
 
 
 def update_config_with_nni(config: Dict) -> Dict:

@@ -10,7 +10,8 @@ run() { # run <tag> <dropout> [ENV=V ...]
   local tag=$1 drop=$2; shift 2
   echo "=== $tag ==="
   timeout 900 env "$@" python scripts/ftl_bench.py --B "$B" --L "$L" \
-    --D "$D" --steps 20 --dropout "$drop" "${EXTRA[@]:-}" 2>/dev/null | tail -1
+    --D "$D" --steps 20 --dropout "$drop" ${EXTRA[@]+"${EXTRA[@]}"} \
+    2>/dev/null | tail -1
 }
 EXTRA=("$@")
 run baseline    0.5 _=1

@@ -216,3 +216,26 @@ def test_sigterm_preemption_checkpoints_and_resumes():
     assert m2._start_epoch == saved_epoch + 1
     res = m2.evaluate(tst, verbose=False)
     assert np.isfinite(res["ndcg@5"])
+
+
+def test_matmul_precision_knob():
+    """train.precision maps to an EXPLICIT jax matmul precision — the XLA
+    "default" algorithm is pathologically slow on the target TPU runtime
+    (utils/misc.py set_matmul_precision) so no mapping may leave it unset."""
+    import jax
+    import pytest
+
+    from recstudio_tpu.utils import set_matmul_precision
+
+    prev = jax.config.jax_default_matmul_precision
+    try:
+        set_matmul_precision(None)            # framework default
+        assert jax.config.jax_default_matmul_precision == "BF16_BF16_F32_X3"
+        set_matmul_precision("bf16")
+        assert jax.config.jax_default_matmul_precision == "bfloat16"
+        set_matmul_precision("fp32")
+        assert jax.config.jax_default_matmul_precision == "highest"
+        with pytest.raises(ValueError):
+            set_matmul_precision("default")   # never the broken algorithm
+    finally:
+        jax.config.update("jax_default_matmul_precision", prev)
