@@ -137,10 +137,33 @@ def bench_eval_qps(name="BPR", repeats=20):
     return n_queries * repeats / dt, r20
 
 
+def _chip_probe() -> float:
+    """Effective bf16 matmul TFLOP/s right now. The tunneled chip's real
+    speed swings >10x over tens of minutes (sharing/throttling), so every
+    recorded number needs this context: healthy ~100+ TFLOP/s at this
+    shape; readings in the single digits mean the section ran on a
+    degraded chip and undershoots the machine's capability."""
+    import jax
+    import jax.numpy as jnp
+    a = jax.random.normal(jax.random.PRNGKey(0), (4096, 4096), jnp.bfloat16)
+    mm = jax.jit(lambda x: jnp.dot(x, x, preferred_element_type=jnp.float32))
+    mm(a).block_until_ready()
+    t0 = time.time()
+    for _ in range(20):
+        out = mm(a)
+    float(out.ravel()[0])
+    dt = (time.time() - t0) / 20
+    return round(2 * 4096 ** 3 / dt / 1e12, 1)
+
+
 def _run_section(section: str) -> dict:
     """One bench section; prints a single JSON dict on stdout."""
     _enable_compile_cache()
     np.random.seed(42)
+    if section == "chip_probe":
+        return {"chip bf16 TFLOP/s (4096^3 probe)": _chip_probe()}
+    if section == "chip_probe_end":
+        return {"chip bf16 TFLOP/s (probe after suite)": _chip_probe()}
     if section == "bpr":
         # 300 timed epochs ≈ 3-4 s window: at ~10 ms/epoch a 50-epoch window
         # was ~0.5 s — small enough for tunnel dispatch jitter to swing the
@@ -279,10 +302,12 @@ def _run_section(section: str) -> dict:
 # then the small ml-100k sweep. Caps assume a warm compile cache (the normal
 # case — BENCH_CACHE_DIR persists across runs on this machine); the global
 # deadline, not the caps, is the real guard on a cold machine.
-SECTIONS = [("bpr", 900), ("ctr_scale", 900), ("seq_scale", 1200),
+SECTIONS = [("chip_probe", 120), ("bpr", 900), ("ctr_scale", 900),
+            ("seq_scale", 1200),
             ("ctr_bigvocab_adam", 900), ("ctr_bigvocab_sparse_adam", 900),
             ("graph_scale", 900), ("scale", 900), ("eval", 600),
-            ("deepfm", 600), ("sasrec", 600), ("lightgcn", 600)]
+            ("deepfm", 600), ("sasrec", 600), ("lightgcn", 600),
+            ("chip_probe_end", 120)]
 
 
 def _headline(results: dict) -> str:
