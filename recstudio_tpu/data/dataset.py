@@ -24,6 +24,7 @@ import copy
 import hashlib
 import os
 import pickle
+from collections.abc import Mapping
 from typing import Any, Dict, Iterator, List, Optional, Sequence, Union
 
 import numpy as np
@@ -66,13 +67,17 @@ def _apply_scaler(col: np.ndarray, spec: str) -> np.ndarray:
     raise ValueError(f"unsupported float preprocessor: {spec}")
 
 
-class _LazyToken2Idx:
+class _LazyToken2Idx(Mapping):
     """``field -> {token: idx}`` view derived from ``field2tokens`` on first
     access. The dicts are pure API surface (reference dataset.py:417-474
     exposes them; nothing in this framework consumes them), and pickling
     millions of numpy-scalar dict entries dominated dataset-cache load time
     at big-vocab CTR shapes (~4.5 min of a 3.3 GB pickle), so they are
-    built lazily and excluded from the cache."""
+    built lazily and excluded from the cache. Subclasses
+    ``collections.abc.Mapping`` so code written against the reference's
+    plain-dict attribute keeps working: ``get``/``values``/``items`` (a
+    re-iterable view, not a one-shot generator), equality, and
+    ``dict(ds.field2token2idx)`` all behave dict-like."""
 
     def __init__(self, field2tokens: Dict[str, np.ndarray]):
         self._field2tokens = field2tokens
@@ -80,24 +85,17 @@ class _LazyToken2Idx:
 
     def __getitem__(self, field):
         if field not in self._built:
+            if field not in self._field2tokens:
+                raise KeyError(field)
             self._built[field] = {
                 t: i for i, t in enumerate(self._field2tokens[field])}
         return self._built[field]
-
-    def __contains__(self, field):
-        return field in self._field2tokens
 
     def __iter__(self):
         return iter(self._field2tokens)
 
     def __len__(self):
         return len(self._field2tokens)
-
-    def keys(self):
-        return self._field2tokens.keys()
-
-    def items(self):
-        return ((f, self[f]) for f in self._field2tokens)
 
 
 class TripletDataset:

@@ -31,6 +31,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Explicit in-kernel dot precision: Mosaic cannot lower the process-wide
+# DotAlgorithmPreset set by train.precision: bf16_3x ('DotAlgorithmPreset'
+# object is not subscriptable); DEFAULT rides the MXU bf16 datapath.
+_PREC = jax.lax.Precision.DEFAULT
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -67,14 +72,14 @@ def _mha_kernel(q_ref, k_ref, v_ref, pad_ref, attn_ref, out_ref, *, scale):
     q = q_ref[0, 0]                                        # [Lq, Dp]
     k = k_ref[0, 0]                                        # [Lk, Dp]
     v = v_ref[0, 0]
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32, precision=_PREC) * scale
     # add masks, clamped so a fully-masked row stays finite (no 0/0 NaN)
     s = jnp.maximum(s + attn_ref[:] + pad_ref[0],
                     jnp.float32(jnp.finfo(jnp.float32).min))
     m = s.max(axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = p.sum(axis=-1, keepdims=True)
-    out_ref[0, 0] = jnp.dot(p, v, preferred_element_type=jnp.float32) / l
+    out_ref[0, 0] = jnp.dot(p, v, preferred_element_type=jnp.float32, precision=_PREC) / l
 
 
 def _mha_pallas(q, k, v, pad_add, attn_add):
@@ -138,7 +143,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, pad_ref, attn_ref, out_ref, lse_ref,
     q = q_ref[0, 0]                                       # [TQ, Dp]
     k = k_ref[0, 0]                                       # [TK, Dp]
     v = v_ref[0, 0]
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32, precision=_PREC) * scale
     s = jnp.maximum(s + attn_ref[:] + pad_ref[0],
                     jnp.float32(jnp.finfo(jnp.float32).min))  # [TQ, TK]
 
@@ -150,7 +155,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, pad_ref, attn_ref, out_ref, lse_ref,
     p = jnp.exp(s - m_new[:, :1])                         # [TQ, TK]
     l_new = corr * l_prev + p.sum(axis=-1, keepdims=True)
     acc_ref[:] = acc_ref[:] * corr[:, :1] + \
-        jnp.dot(p, v, preferred_element_type=jnp.float32)
+        jnp.dot(p, v, preferred_element_type=jnp.float32, precision=_PREC)
     m_ref[:] = m_new
     l_ref[:] = l_new
 
@@ -223,15 +228,15 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, pad_ref, attn_ref, do_ref,
     q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
     do, o = do_ref[0, 0], o_ref[0, 0]
     lse = lse_ref[0, 0]                                    # [TQ, 128]
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32, precision=_PREC) * scale
     s = jnp.maximum(s + attn_ref[:] + pad_ref[0],
                     jnp.float32(jnp.finfo(jnp.float32).min))
     p = jnp.exp(s - lse[:, :1])                            # [TQ, TK]
-    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32, precision=_PREC)
     delta = (do * o).sum(axis=-1, keepdims=True)           # [TQ, 1]
     ds = p * (dp - delta)
     acc_ref[:] = acc_ref[:] + \
-        jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        jnp.dot(ds, k, preferred_element_type=jnp.float32, precision=_PREC) * scale
 
     @pl.when(ki == nk - 1)
     def _finish():
@@ -251,17 +256,17 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, pad_ref, attn_ref, do_ref,
     q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
     do, o = do_ref[0, 0], o_ref[0, 0]
     lse = lse_ref[0, 0]
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32, precision=_PREC) * scale
     s = jnp.maximum(s + attn_ref[:] + pad_ref[0],
                     jnp.float32(jnp.finfo(jnp.float32).min))
     p = jnp.exp(s - lse[:, :1])                            # [TQ, TK]
     dv_acc[:] = dv_acc[:] + jnp.dot(p.T, do,
-                                    preferred_element_type=jnp.float32)
-    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32, precision=_PREC)
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32, precision=_PREC)
     delta = (do * o).sum(axis=-1, keepdims=True)
     ds = p * (dp - delta)                                  # [TQ, TK]
     dk_acc[:] = dk_acc[:] + \
-        jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * scale
+        jnp.dot(ds.T, q, preferred_element_type=jnp.float32, precision=_PREC) * scale
 
     @pl.when(qi == nq - 1)
     def _finish():

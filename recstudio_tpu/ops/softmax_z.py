@@ -23,6 +23,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Explicit in-kernel dot precision: Mosaic cannot lower the process-wide
+# DotAlgorithmPreset set by train.precision: bf16_3x ('DotAlgorithmPreset'
+# object is not subscriptable); DEFAULT rides the MXU bf16 datapath.
+_PREC = jax.lax.Precision.DEFAULT
+
 NEG_INF = -jnp.inf
 
 
@@ -54,7 +59,7 @@ def _fwd_kernel(n_items_ref, q_ref, it_ref, out_ref, m_ref, l_ref):
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    s = jnp.dot(q_ref[:], it_ref[:].T, preferred_element_type=jnp.float32)
+    s = jnp.dot(q_ref[:], it_ref[:].T, preferred_element_type=jnp.float32, precision=_PREC)
     # mask padded item rows (global col id >= n_items)
     ct = s.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k * ct
@@ -115,12 +120,12 @@ def _bwd_dq_kernel(n_items_ref, q_ref, it_ref, z_ref, g_ref, dq_ref, acc_ref):
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    s = jnp.dot(q_ref[:], it_ref[:].T, preferred_element_type=jnp.float32)
+    s = jnp.dot(q_ref[:], it_ref[:].T, preferred_element_type=jnp.float32, precision=_PREC)
     ct = s.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k * ct
     p = jnp.where(col < n_items_ref[0], jnp.exp(s - z_ref[:]), 0.0)
     acc_ref[:] = acc_ref[:] + jnp.dot(p, it_ref[:],
-                                      preferred_element_type=jnp.float32)
+                                      preferred_element_type=jnp.float32, precision=_PREC)
 
     @pl.when(k == nk - 1)
     def _done():
@@ -135,14 +140,14 @@ def _bwd_ditems_kernel(n_items_ref, q_ref, it_ref, z_ref, g_ref, dit_ref, acc_re
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    s = jnp.dot(q_ref[:], it_ref[:].T, preferred_element_type=jnp.float32)
+    s = jnp.dot(q_ref[:], it_ref[:].T, preferred_element_type=jnp.float32, precision=_PREC)
     k = pl.program_id(0)
     ct = s.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k * ct
     p = jnp.where(col < n_items_ref[0], jnp.exp(s - z_ref[:]), 0.0)
     gp = p * g_ref[:]
     acc_ref[:] = acc_ref[:] + jnp.dot(gp.T, q_ref[:],
-                                      preferred_element_type=jnp.float32)
+                                      preferred_element_type=jnp.float32, precision=_PREC)
 
     @pl.when(i == ni - 1)
     def _done():

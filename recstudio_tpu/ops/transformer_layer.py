@@ -69,11 +69,18 @@ def _mm_bf16_default() -> bool:
 
 
 def _dot(a: jax.Array, b: jax.Array, mm_bf16: bool) -> jax.Array:
-    """MXU matmul with f32 accumulation; optionally one-pass bf16 inputs."""
+    """MXU matmul with f32 accumulation; optionally one-pass bf16 inputs.
+
+    ``precision`` is EXPLICIT: without it the dot inherits the process-wide
+    ``jax_default_matmul_precision``, and when that is a DotAlgorithmPreset
+    (train.precision: bf16_3x) Mosaic's lowering crashes
+    ("'DotAlgorithmPreset' object is not subscriptable"). Inside the kernel
+    DEFAULT already rides the MXU one-pass bf16 datapath for f32 operands."""
     if mm_bf16:
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.DEFAULT)
 
 
 def supports_fused_layer(d_model: int, seq_len: int, n_head: int,

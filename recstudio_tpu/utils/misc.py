@@ -14,16 +14,29 @@ from typing import Dict, Optional
 
 import numpy as np
 
-# train.precision -> jax_default_matmul_precision. An EXPLICIT precision is
-# mandatory on this TPU runtime: leaving the flag unset ("default") makes
-# XLA pick an exact-f32 algorithm for f32 operands that measures 10-1000x
-# slower than the bf16-based algorithms on v5e-class chips (a [2048^2]
-# square dot measured 2.2 s at default vs 1.1-1.6 ms at any explicit
-# setting). ``bf16_3x`` (3-pass compensated bf16, ~21 mantissa bits) is
-# numerically f32-equivalent for this workload and is the framework
-# default; ``bf16`` is the one-pass MXU mode; ``fp32`` requests the exact
-# algorithm explicitly ("highest").
+# train.precision -> jax_default_matmul_precision, resolved PER BACKEND.
+#
+# The framework default is ``default`` (Precision.DEFAULT): on TPU that is
+# the one-pass bf16 MXU datapath with f32 accumulation, on CPU exact f32.
+# Round 3's claim that the unset default was pathologically slow (a 2048^2
+# dot at ~2.2 s) did NOT reproduce under a pinned round-robin probe
+# (scripts/precision_probe.py, 2026-08-20, real chip): unset/default/
+# bfloat16 all measure ~84 TFLOP/s at 4096^2 while BF16_BF16_F32_X3 is ~2x
+# slower (45) and "highest" ~3x slower (26); the one-off 2.2 s reading was
+# a transient tunnel stall. Rounds 1-3 trained the whole zoo at DEFAULT
+# with healthy metrics, so DEFAULT is both the fast and the proven-safe
+# choice (VERDICT r4 task 6).
+#
+# ``bf16_3x`` (3-pass compensated bf16, ~21 mantissa bits, numerically
+# f32-equivalent) stays available as an opt-in, but its DotAlgorithmPreset
+# is TPU-only — XLA:CPU's ElementalIrEmitter hard-errors on it (the round-4
+# regression), so off-TPU it resolves to "highest" (the numerics it
+# emulates). Pallas kernels never see the process-global value either way:
+# Mosaic cannot lower a DotAlgorithmPreset, so every in-kernel dot passes
+# an explicit ``precision=`` (ops/transformer_layer.py::_dot,
+# ops/attention.py, ops/softmax_z.py).
 _PRECISION_MAP = {
+    "default": "default",
     "bf16_3x": "BF16_BF16_F32_X3",
     "bf16": "bfloat16",
     "bfloat16": "bfloat16",
@@ -32,19 +45,35 @@ _PRECISION_MAP = {
     "highest": "highest",
 }
 
+# DotAlgorithmPreset values only XLA:TPU implements; resolved to the
+# numerically-equivalent Precision enum elsewhere (CPU/GPU/interpret).
+_TPU_ONLY = {"BF16_BF16_F32_X3": "highest"}
 
-def set_matmul_precision(precision: Optional[str]) -> None:
-    """Set the process-wide matmul precision from a ``train.precision``
-    string (``bf16_3x`` | ``bf16`` | ``fp32``; None -> ``bf16_3x``)."""
+
+def resolve_matmul_precision(precision: Optional[str]) -> str:
+    """Map a ``train.precision`` string to the jax_default_matmul_precision
+    value for the CURRENT backend (backend-aware: TPU-only dot-algorithm
+    presets fall back to their numerically-equivalent Precision enum on
+    other backends)."""
     import jax
-    key = str(precision or "bf16_3x").lower()
+    key = str(precision or "default").lower()
     try:
         value = _PRECISION_MAP[key]
     except KeyError:
         raise ValueError(
             f"train.precision={precision!r}: expected one of "
             f"{sorted(set(_PRECISION_MAP))}") from None
-    jax.config.update("jax_default_matmul_precision", value)
+    if value in _TPU_ONLY and jax.default_backend() != "tpu":
+        value = _TPU_ONLY[value]
+    return value
+
+
+def set_matmul_precision(precision: Optional[str]) -> None:
+    """Set the process-wide matmul precision from a ``train.precision``
+    string (``default`` | ``bf16_3x`` | ``bf16`` | ``fp32``; None -> ``default``)."""
+    import jax
+    jax.config.update("jax_default_matmul_precision",
+                      resolve_matmul_precision(precision))
 
 
 def update_config_with_nni(config: Dict) -> Dict:

@@ -27,6 +27,18 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True)
+def _isolate_matmul_precision():
+    """set_matmul_precision mutates process-global state (sticky across
+    tests -> ordering-dependent failures, the round-4 regression). Snapshot
+    and restore it around every test; restoring an unchanged value does not
+    invalidate jit caches."""
+    before = jax.config.jax_default_matmul_precision
+    yield
+    if jax.config.jax_default_matmul_precision != before:
+        jax.config.update("jax_default_matmul_precision", before)
+
+
 @pytest.fixture(scope="session")
 def ml100k():
     from recstudio_tpu.data import TripletDataset

@@ -219,23 +219,82 @@ def test_sigterm_preemption_checkpoints_and_resumes():
 
 
 def test_matmul_precision_knob():
-    """train.precision maps to an EXPLICIT jax matmul precision — the XLA
-    "default" algorithm is pathologically slow on the target TPU runtime
-    (utils/misc.py set_matmul_precision) so no mapping may leave it unset."""
+    """train.precision maps to an EXPLICIT, BACKEND-AWARE jax matmul
+    precision (utils/misc.py set_matmul_precision): the bf16_3x default is
+    the ALG_DOT_BF16_BF16_F32_X3 preset on TPU but must resolve to exact
+    f32 ("highest") elsewhere — XLA:CPU's ElementalIrEmitter hard-errors on
+    the preset (the round-4 regression)."""
     import jax
     import pytest
 
     from recstudio_tpu.utils import set_matmul_precision
 
+    on_tpu = jax.default_backend() == "tpu"
     prev = jax.config.jax_default_matmul_precision
     try:
         set_matmul_precision(None)            # framework default
-        assert jax.config.jax_default_matmul_precision == "BF16_BF16_F32_X3"
+        assert jax.config.jax_default_matmul_precision == "default"
+        set_matmul_precision("bf16_3x")       # TPU-only preset, f32 elsewhere
+        assert jax.config.jax_default_matmul_precision == (
+            "BF16_BF16_F32_X3" if on_tpu else "highest")
         set_matmul_precision("bf16")
         assert jax.config.jax_default_matmul_precision == "bfloat16"
         set_matmul_precision("fp32")
         assert jax.config.jax_default_matmul_precision == "highest"
         with pytest.raises(ValueError):
-            set_matmul_precision("default")   # never the broken algorithm
+            set_matmul_precision("fast")      # never an unvalidated value
     finally:
         jax.config.update("jax_default_matmul_precision", prev)
+
+
+@pytest.mark.parametrize("precision",
+                         [None, "default", "bf16_3x", "bf16", "fp32"])
+def test_every_precision_compiles_dot_and_fused_layer(precision):
+    """EVERY legal train.precision value must compile (1) a plain jitted dot
+    and (2) the fused Pallas transformer layer on the session backend.
+
+    Regression test for round 4: bf16_3x shipped as default while (1) broke
+    on XLA:CPU (Algorithm not supported: ALG_DOT_BF16_BF16_F32_X3 — the
+    multichip dryrun stage 3) and (2) broke on the real TPU (Mosaic cannot
+    lower a DotAlgorithmPreset: 'DotAlgorithmPreset' object is not
+    subscriptable). On CPU the fused layer runs in interpret mode, so the
+    TPU-side guard is the explicit precision= inside the kernels
+    (ops/transformer_layer.py::_dot) plus the TPU run in scripts/ and
+    BASELINE evidence."""
+    import jax
+    import jax.numpy as jnp
+
+    from recstudio_tpu.ops.transformer_layer import fused_transformer_layer
+    from recstudio_tpu.utils import set_matmul_precision
+
+    set_matmul_precision(precision)           # restored by conftest fixture
+
+    a = jnp.ones((16, 16), jnp.float32)
+    assert np.isfinite(float(jax.jit(jnp.dot)(a, a).sum()))
+
+    D, F, H, L, B = 16, 32, 2, 8, 4
+    k = jax.random.PRNGKey(0)
+    params = {
+        "qkv_kernel": jax.random.normal(k, (D, 3 * D)) * 0.05,
+        "qkv_bias": jnp.zeros((3 * D,)),
+        "out_kernel": jax.random.normal(k, (D, D)) * 0.05,
+        "out_bias": jnp.zeros((D,)),
+        "norm1_scale": jnp.ones((D,)), "norm1_bias": jnp.zeros((D,)),
+        "ffn1_kernel": jax.random.normal(k, (D, F)) * 0.05,
+        "ffn1_bias": jnp.zeros((F,)),
+        "ffn2_kernel": jax.random.normal(k, (F, D)) * 0.05,
+        "ffn2_bias": jnp.zeros((D,)),
+        "norm2_scale": jnp.ones((D,)), "norm2_bias": jnp.zeros((D,)),
+    }
+    x = jax.random.normal(jax.random.fold_in(k, 1), (B, L, D))
+
+    def f(x):
+        out = fused_transformer_layer(
+            x, params, key_padding_mask=None, attn_mask=None, n_head=H,
+            dropout=0.1, activation="gelu", layer_norm_eps=1e-5,
+            training=True, seed=jnp.int32(7))
+        return out.sum()
+
+    val, grad = jax.jit(jax.value_and_grad(f))(x)
+    assert np.isfinite(float(val))
+    assert np.isfinite(float(jnp.abs(grad).sum()))

