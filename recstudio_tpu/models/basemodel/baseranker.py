@@ -130,7 +130,12 @@ class BaseRanker(Recommender):
         # ctr._PROBE_DISCOVERY) — feeds the row-sparse optimizer gate below
         from ..module import ctr
         prev = ctr._PROBE_DISCOVERY
+        prev_packed = ctr._PACKED_MOMENTS
         ctr._PROBE_DISCOVERY = {}
+        # declare fused tables packed ([N, 3D] params|mu|nu) when the config
+        # qualifies for the row-sparse optimizer; runtime-only disqualifiers
+        # discovered later are handled by _prepare_sparse_state (unpack)
+        ctr._PACKED_MOMENTS = self._ctr_sparse_config_ok()
         try:
             variables = self.net.init(
                 {"params": self.next_rng(), "dropout": self.next_rng()},
@@ -138,6 +143,7 @@ class BaseRanker(Recommender):
         finally:
             self._emb_probe_meta = dict(ctr._PROBE_DISCOVERY)
             ctr._PROBE_DISCOVERY = prev
+            ctr._PACKED_MOMENTS = prev_packed
         return variables
 
     # ------------------------------------------------------------------
@@ -152,19 +158,31 @@ class BaseRanker(Recommender):
     # (models/optim.py): O(batch) row traffic, identical trajectory.
     # Mirrors baseretriever.py's two-tower ``_sparse_grad_step``.
     # ------------------------------------------------------------------
-    def _ctr_sparse_enabled(self) -> bool:
-        if hasattr(self, "_ctr_sparse_flag"):
-            return self._ctr_sparse_flag
+    def _ctr_sparse_config_ok(self) -> bool:
+        """Config-derivable half of the row-sparse gate, known BEFORE
+        net.init — used to decide the packed [N, 3D] table declaration.
+        Note the mesh exclusion: under ``train.mesh`` the table is GSPMD
+        row-sharded and updated densely — a row-sparse scatter there would
+        need per-shard a2a routing of candidate rows (future work), and at
+        mesh scale the dense update amortizes over dp anyway."""
         tc = self.config["train"]
-        meta = getattr(self, "_emb_probe_meta", None)
-        ok = (
-            bool(meta)
-            and str(tc.get("sparse_rows", "auto")).lower() != "false"
+        return (
+            str(tc.get("sparse_rows", "auto")).lower() != "false"
             and str(tc.get("learner", "adam")).lower() == "sparse_adam"
             and not tc.get("weight_decay")
             and not tc.get("grad_clip_norm")
             and not tc.get("scheduler")
             and self.retriever is None
+            and not tc.get("mesh")
+        )
+
+    def _ctr_sparse_enabled(self) -> bool:
+        if hasattr(self, "_ctr_sparse_flag"):
+            return self._ctr_sparse_flag
+        meta = getattr(self, "_emb_probe_meta", None)
+        ok = (
+            bool(meta)
+            and self._ctr_sparse_config_ok()
             and getattr(self, "_mesh", None) is None
             and len(getattr(self, "optimizers", [None])) == 1
         )
@@ -177,8 +195,10 @@ class BaseRanker(Recommender):
                 except (KeyError, TypeError):
                     ok = False
                     break
+                # the leaf must be PACKED (declared at init when the config
+                # qualified): [N, 3D] = params | mu | nu
                 if getattr(node, "shape", None) != (sum(m["sizes"]),
-                                                    m["embed_dim"]):
+                                                    3 * m["embed_dim"]):
                     ok = False
                     break
         self._ctr_sparse_flag = bool(ok)
@@ -189,6 +209,74 @@ class BaseRanker(Recommender):
                             for k, m in meta.items()))
         return self._ctr_sparse_flag
 
+    def _prepare_sparse_state(self) -> None:
+        """Finalize the packed-table state after optimizer init.
+
+        Fused-table leaves were DECLARED [N, 3D] = (params | mu | nu) at
+        net.init when the config qualified (ctr.py ``_PACKED_MOMENTS``), so
+        the per-step update is ONE row gather + ONE row scatter: TPU
+        scatter cost is per-row and width-independent below 128 lanes
+        (measured 2026-08-20, donated buffers: a 74k-row scatter costs
+        8.8 ms at D=10 and 10.6 ms at D=30, while THREE D=10 scatters cost
+        24 ms) — packing removes ~2/3 of the term by which sparse_adam
+        lost to dense Adam in BENCH_r04. Here we (a) re-zero the moment
+        columns (init_parameters may have re-randomized the whole leaf),
+        (b) drop the optimizer's dense [N, 3D] moment mirrors for those
+        leaves (the packed buffer carries the moments), and (c) if a leaf
+        is packed but a runtime-only disqualifier turned the gate OFF
+        (e.g. a second optimizer), UNPACK it — a packed leaf on the dense
+        path would silently stop training (its reads are stop_gradient)."""
+        meta = getattr(self, "_emb_probe_meta", None)
+        if not meta:
+            return
+        from ..optim import unpack_table_params
+
+        def replace(tree, path, fn):
+            new = dict(tree)
+            if len(path) == 1:
+                new[path[0]] = fn(tree[path[0]])
+            else:
+                new[path[0]] = replace(tree[path[0]], path[1:], fn)
+            return new
+
+        def get(tree, path):
+            for k in path:
+                tree = tree[k]
+            return tree
+
+        enabled = self._ctr_sparse_enabled()
+        # fresh buffer per placeholder: donated scan carries reject the same
+        # buffer appearing twice, and 1-element zeros (unlike 0-size ones)
+        # are guaranteed distinct allocations
+        placeholder = lambda _: jnp.zeros((1,), jnp.float32) + 0.0
+        rebuilt = False
+        for m in meta.values():
+            path = m["param_path"]
+            leaf = get(self.params, path)
+            is_packed = leaf.shape[-1] == 3 * m["embed_dim"]
+            if enabled and is_packed:
+                d = m["embed_dim"]
+                self.params = replace(
+                    self.params, path,
+                    lambda p, d=d: jnp.concatenate(
+                        [p[:, :d], jnp.zeros((p.shape[0], 2 * d), p.dtype)],
+                        axis=-1))
+                (inner,) = self.opt_states[0]
+                inner = inner._replace(
+                    mu=replace(inner.mu, path, placeholder),
+                    nu=replace(inner.nu, path, placeholder))
+                self.opt_states[0] = (inner,)
+            elif is_packed:
+                self.params = replace(self.params, path, unpack_table_params)
+                rebuilt = True
+        if rebuilt:
+            self.logger.warning(
+                "fused tables were declared packed but the row-sparse gate "
+                "is off at runtime — unpacked to keep the dense path exact")
+            self.opt_states = [
+                o["optimizer"].init(self.params) if o.get("optimizer")
+                else None for o in self.optimizers]
+
     def _grad_step(self, optimizer, params, opt_state, batch, rng, states):
         if self._ctr_sparse_enabled():
             return self._ctr_sparse_grad_step(params, opt_state, batch, rng,
@@ -198,7 +286,7 @@ class BaseRanker(Recommender):
 
     def _ctr_sparse_grad_step(self, params, opt_state, batch, rng, states):
         from ..init import zero_pad_rows_in_grads
-        from ..optim import (LazyAdamState, fused_table_lazy_adam,
+        from ..optim import (LazyAdamState, fused_table_lazy_adam_packed,
                              lazy_update_leaf)
         lr = float(self.config["train"].get("learning_rate", 1e-3))
         meta = self._emb_probe_meta
@@ -224,12 +312,16 @@ class BaseRanker(Recommender):
         def upd(path, p, g, mu, nu):
             names = tuple(str(getattr(x, "key", x)) for x in path)
             if names in table_paths:
+                # p is the packed [N, 3D] buffer (_prepare_sparse_state);
+                # mu/nu are 0-size placeholders, g the never-consumed zero
+                # cotangent — the real per-lookup grads ride g_probes
                 key, m = table_paths[names]
                 ids2 = jnp.stack(
                     [batch[f] + off
                      for f, off in zip(m["fields"], m["offsets"])], axis=-1)
-                return fused_table_lazy_adam(m["sizes"], p, mu, nu, ids2,
-                                             g_probes[key], count, lr)
+                packed2 = fused_table_lazy_adam_packed(
+                    m["sizes"], p, ids2, g_probes[key], count, lr)
+                return packed2, mu, nu
             # dense leaves (MLP/interaction weights): same lazy-adam math
             # the dense path's optax lazy_adam applies — the table's zero
             # autodiff cotangent is never consumed, so XLA drops it

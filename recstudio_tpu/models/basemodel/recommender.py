@@ -257,6 +257,10 @@ class Recommender:
                                float(tc.get("weight_decay") or 0.0))
         return [{"optimizer": opt}]
 
+    def _prepare_sparse_state(self) -> None:
+        """Hook after optimizer-state init: row-sparse embedding engines
+        (baseranker.py) repack their fused-table params/moments here."""
+
     def current_epoch_optimizers(self, nepoch: int) -> List[int]:
         """Indices of optimizers active this epoch (alternating schedules)."""
         return list(range(len(self.optimizers)))
@@ -838,6 +842,7 @@ class Recommender:
         self.optimizers = self._get_optimizers() or []
         self.opt_states = [o["optimizer"].init(self.params) if o.get("optimizer") else None
                            for o in self.optimizers]
+        self._prepare_sparse_state()  # row-sparse engines repack state here
         self._train_steps = [self._make_train_step(o["optimizer"]) if o.get("optimizer") else None
                              for o in self.optimizers]
         self._scan_epoch_fn = None

@@ -64,6 +64,23 @@ _ONEHOT_VOCAB_MAX = 1024
 # dense [N, D] cotangent is never materialized.
 _PROBE_DISCOVERY = None  # Optional[dict]: path-key -> layout metadata
 
+# When True at INIT time (set by BaseRanker before net.init when the
+# config qualifies for the row-sparse optimizer), the fused token table is
+# declared PACKED: [N, 3D] = (params | mu | nu) with zero moments, so the
+# optimizer can apply ONE row scatter per step instead of three (TPU
+# scatter cost is per-row, width-free below 128 lanes — models/optim.py
+# fused_table_lazy_adam_packed). At APPLY time packed-ness is derived from
+# the stored leaf's shape, never from this global, so eval/serving of a
+# packed checkpoint works regardless of flag state.
+_PACKED_MOMENTS = False
+
+
+def _packed_table_init(n: int, d: int):
+    def init(key):
+        w = nn.initializers.normal(0.02)(key, (n, d))
+        return jnp.concatenate([w, jnp.zeros((n, 2 * d), w.dtype)], axis=-1)
+    return init
+
 
 def _fused_gather_impl(sizes: tuple, table, ids):
     """Gather [..., T] per-field offset ids from the concatenated [N, D]
@@ -194,8 +211,19 @@ class Embeddings(nn.Module):
             embs[i] = table.at[batch[name]].get(mode="promise_in_bounds")
         elif token:
             sizes = [n for _, (_, _, n) in token]
-            table = self.param("token_embedding", nn.initializers.normal(0.02),
-                               (sum(sizes), self.embed_dim))
+            stored = (self.variables.get("params", {}).get("token_embedding")
+                      if self.has_variable("params", "token_embedding")
+                      else None)
+            packed = (stored.shape[-1] == 3 * self.embed_dim
+                      if stored is not None else bool(_PACKED_MOMENTS))
+            if packed:
+                table = self.param(
+                    "token_embedding",
+                    _packed_table_init(sum(sizes), self.embed_dim))
+            else:
+                table = self.param("token_embedding",
+                                   nn.initializers.normal(0.02),
+                                   (sum(sizes), self.embed_dim))
             offs = np.concatenate([[0], np.cumsum(sizes)[:-1]])
             ids = jnp.stack([batch[name] + off
                              for (_, (name, _, _)), off in zip(token, offs)],
@@ -211,6 +239,13 @@ class Embeddings(nn.Module):
                 }
             probes = (batch.get("__emb_probes__")
                       if isinstance(batch, dict) else None)
+            # row-sparse fits repack this leaf to [N, 3D] (params | mu | nu,
+            # models/optim.py pack_table_state) so the optimizer applies ONE
+            # row scatter instead of three; reads gather the wide rows and
+            # slice the param columns (scatter cost is per-row — the 3x
+            # narrower-row traffic is free below 128 lanes)
+            is_packed = (table.shape[-1] == 3 * self.embed_dim
+                         and table.shape[-1] != self.embed_dim)
             if probes is not None and key in probes:
                 # row-sparse mode: the table read is non-differentiable;
                 # grads flow through the zero probe (one row per lookup).
@@ -220,8 +255,17 @@ class Embeddings(nn.Module):
                 # {0,1} table layout whose big-field gather lowers to a
                 # full-table windowed scan (measured +20 ms/step at 6.5M
                 # rows; values are bit-identical either way)
+                raw = jax.lax.stop_gradient(table).at[ids].get(
+                    mode="promise_in_bounds")
+                if is_packed:
+                    raw = raw[..., :self.embed_dim]
+                fused = raw + probes[key]
+            elif is_packed:
+                # eval/predict while the row-sparse fit owns the leaf: no
+                # grads flow here, and slicing columns after the gather
+                # avoids materializing a full [N, D] param copy per call
                 fused = jax.lax.stop_gradient(table).at[ids].get(
-                    mode="promise_in_bounds") + probes[key]
+                    mode="promise_in_bounds")[..., :self.embed_dim]
             else:
                 fused = _fused_gather(tuple(sizes), table, ids)  # [..., T, D]
             for k, (i, _) in enumerate(token):

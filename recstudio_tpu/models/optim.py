@@ -150,6 +150,82 @@ def _blocked_dedup(ids: jax.Array, g: jax.Array):
     return jnp.where(live, seg_ids, 0), agg
 
 
+def _fused_table_candidates(sizes: Sequence[int], ids2: jax.Array,
+                            g: jax.Array, onehot_vocab_max: int
+                            ) -> Tuple[jax.Array, jax.Array]:
+    """Aggregate per-lookup gradients ``g [B, T, D]`` at offset ids
+    ``ids2 [B, T]`` into candidate update rows ``(ids [K], agg [K, D])``:
+    small-vocab fields exactly via one-hot MXU matmuls (every slab row a
+    candidate), big-vocab fields deduped per field (``_blocked_dedup``).
+    Slots with id 0 or an all-zero row are "untouched" to callers."""
+    offs = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    id_parts, agg_parts = [], []
+    for t, v in enumerate(sizes):
+        if v > onehot_vocab_max:
+            continue
+        off = int(offs[t])
+        rel = ids2[:, t] - off
+        onehot = (rel[None, :] == jnp.arange(v, dtype=rel.dtype)[:, None])
+        slab_g = jnp.dot(onehot.astype(g.dtype), g[:, t, :],
+                         preferred_element_type=g.dtype,
+                         precision=jax.lax.Precision.HIGHEST)
+        id_parts.append(jnp.arange(off, off + v, dtype=jnp.int32))
+        agg_parts.append(slab_g)
+    big = [t for t, v in enumerate(sizes) if v > onehot_vocab_max]
+    if big:
+        bids = jnp.stack([ids2[:, t] for t in big], 0)          # [F, B]
+        bg = jnp.stack([g[:, t, :] for t in big], 0)            # [F, B, D]
+        ids_b, agg_b = _blocked_dedup(bids, bg)
+        id_parts.append(ids_b)
+        agg_parts.append(agg_b)
+    return jnp.concatenate(id_parts), jnp.concatenate(agg_parts)
+
+
+def pack_table_state(table: jax.Array) -> jax.Array:
+    """[N, D] params -> [N, 3D] packed (params | mu | nu), moments zeroed."""
+    z = jnp.zeros_like(table)
+    return jnp.concatenate([table, z, z], axis=-1)
+
+
+def unpack_table_params(packed: jax.Array) -> jax.Array:
+    """First D columns of a packed [N, 3D] buffer (the parameters)."""
+    d = packed.shape[-1] // 3
+    return packed[:, :d]
+
+
+def fused_table_lazy_adam_packed(sizes: Sequence[int], packed: jax.Array,
+                                 ids2: jax.Array, g: jax.Array,
+                                 count: jax.Array, learning_rate: float,
+                                 b1: float = 0.9, b2: float = 0.999,
+                                 eps: float = 1e-8,
+                                 onehot_vocab_max: int = 1024) -> jax.Array:
+    """``fused_table_lazy_adam`` on a PACKED [N, 3D] buffer holding
+    (params | mu | nu) per row — ONE gather and ONE scatter instead of one
+    gather + three scatters. Motivation (scripts/sparse_bisect.py +
+    scatter microbench, real chip 2026-08-20): TPU row-scatter cost is
+    per-ROW and width-independent below 128 lanes (74k-row scatter: 8.8 ms
+    at D=10, 10.6 ms at D=30, donated buffers), so three [K, D] scatters
+    cost ~24 ms where one [K, 3D] scatter costs ~10 — the difference is
+    the entire gap by which sparse_adam lost to dense Adam in BENCH_r04.
+    Same trajectory as ``lazy_adam`` (tests/test_sparse_rows.py)."""
+    D = g.shape[-1]
+    N = packed.shape[0]
+    ids, agg = _fused_table_candidates(sizes, ids2, g, onehot_vocab_max)
+    valid = (ids > 0) & jnp.any(jnp.abs(agg) > 0, axis=-1)
+    read = jnp.where(valid, ids, 0)
+    rows = packed.at[read].get(mode="promise_in_bounds")    # [K, 3D]
+    p_r, mu_r, nu_r = rows[:, :D], rows[:, D:2 * D], rows[:, 2 * D:]
+    cf = count.astype(jnp.float32)
+    bc1 = 1.0 - b1 ** cf
+    bc2 = 1.0 - b2 ** cf
+    mu2 = mu_r + (1.0 - b1) * (agg - mu_r)
+    nu2 = nu_r + (1.0 - b2) * (agg * agg - nu_r)
+    step = -learning_rate * (mu2 / bc1) / (jnp.sqrt(nu2 / bc2) + eps)
+    new_rows = jnp.concatenate([p_r + step, mu2, nu2], axis=-1)
+    w = jnp.where(valid, ids, N)             # OOB slots are dropped
+    return packed.at[w].set(new_rows.astype(packed.dtype), mode="drop")
+
+
 def fused_table_lazy_adam(sizes: Sequence[int], table: jax.Array,
                           mu: jax.Array, nu: jax.Array, ids2: jax.Array,
                           g: jax.Array, count: jax.Array,
@@ -183,28 +259,7 @@ def fused_table_lazy_adam(sizes: Sequence[int], table: jax.Array,
     """
     D = table.shape[-1]
     N = table.shape[0]
-    offs = np.concatenate([[0], np.cumsum(sizes)[:-1]])
-    id_parts, agg_parts = [], []
-    for t, v in enumerate(sizes):
-        if v > onehot_vocab_max:
-            continue
-        off = int(offs[t])
-        rel = ids2[:, t] - off
-        onehot = (rel[None, :] == jnp.arange(v, dtype=rel.dtype)[:, None])
-        slab_g = jnp.dot(onehot.astype(g.dtype), g[:, t, :],
-                         preferred_element_type=g.dtype,
-                         precision=jax.lax.Precision.HIGHEST)
-        id_parts.append(jnp.arange(off, off + v, dtype=jnp.int32))
-        agg_parts.append(slab_g)
-    big = [t for t, v in enumerate(sizes) if v > onehot_vocab_max]
-    if big:
-        bids = jnp.stack([ids2[:, t] for t in big], 0)          # [F, B]
-        bg = jnp.stack([g[:, t, :] for t in big], 0)            # [F, B, D]
-        ids_b, agg_b = _blocked_dedup(bids, bg)
-        id_parts.append(ids_b)
-        agg_parts.append(agg_b)
-    ids = jnp.concatenate(id_parts)
-    agg = jnp.concatenate(agg_parts)
+    ids, agg = _fused_table_candidates(sizes, ids2, g, onehot_vocab_max)
     valid = (ids > 0) & jnp.any(jnp.abs(agg) > 0, axis=-1)
     read = jnp.where(valid, ids, 0)
     mu_r = mu.at[read].get(mode="promise_in_bounds")

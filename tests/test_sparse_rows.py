@@ -175,50 +175,114 @@ def _build_deepfm(ctr_small_splits, sparse_rows, epochs=0):
     return m, trn
 
 
+def _table_paths(m):
+    return {tuple(meta["param_path"]): meta
+            for meta in m._emb_probe_meta.values()}
+
+
+def _align_sparse_to_dense(m_s, m_d):
+    """Overwrite m_s's params with m_d's, packing the fused-table leaves
+    ([N, D] -> [N, 3D] with zero moments) — makes the two models start from
+    IDENTICAL parameters so trajectories are comparable. (init_parameters
+    re-draws a [N, 3D] leaf differently from a [N, D] one, so same-seed
+    builds do not align by themselves.)"""
+    paths = _table_paths(m_s)
+
+    def pack(path, _s_leaf, d_leaf):
+        names = tuple(str(getattr(x, "key", x)) for x in path)
+        if names in paths:
+            z = jnp.zeros((d_leaf.shape[0], 2 * d_leaf.shape[1]),
+                          d_leaf.dtype)
+            return jnp.concatenate([d_leaf, z], axis=-1)
+        return jnp.array(d_leaf)  # fresh buffer: both models donate params
+
+    m_s.params = jax.tree_util.tree_map_with_path(pack, m_s.params,
+                                                  m_d.params)
+
+
+def _split_packed(m_s, paths_meta):
+    """(params-view, mu-view, nu-view) of m_s.params with packed fused-table
+    leaves split into their three column groups."""
+    outs = []
+    for col in range(3):
+        def pick(path, leaf, col=col):
+            names = tuple(str(getattr(x, "key", x)) for x in path)
+            if names in paths_meta:
+                d = paths_meta[names]["embed_dim"]
+                return leaf[:, col * d:(col + 1) * d]
+            return leaf
+        outs.append(jax.tree_util.tree_map_with_path(pick, m_s.params))
+    return outs
+
+
 def test_ctr_sparse_step_matches_dense_single_step(ctr_small_splits):
-    """One ranker _grad_step from identical state: probe-grad + fused-table
-    row updates vs dense autodiff + optax lazy_adam."""
-    m, trn = _build_deepfm(ctr_small_splits, "auto")
-    assert m._ctr_sparse_enabled(), "CTR sparse path did not engage"
+    """One ranker _grad_step from identical state: probe-grad + packed
+    fused-table row updates vs dense autodiff + optax lazy_adam."""
+    m_s, trn = _build_deepfm(ctr_small_splits, "auto")
+    m_d, _ = _build_deepfm(ctr_small_splits, "false")
+    assert m_s._ctr_sparse_enabled(), "CTR sparse path did not engage"
+    assert not m_d._ctr_sparse_enabled()
     assert any(any(v > 1024 for v in meta["sizes"])
-               for meta in m._emb_probe_meta.values())
+               for meta in m_s._emb_probe_meta.values())
+    _align_sparse_to_dense(m_s, m_d)
     batch = batch_to_device(next(iter(trn.train_loader(batch_size=256,
                                                        shuffle=False))))
-    opt = m.optimizers[0]["optimizer"]
-    state0 = m.opt_states[0]
     rng = jax.random.PRNGKey(3)
 
-    m._ctr_sparse_flag = True
-    p_s, s_s, l_s = m._grad_step(opt, m.params, state0, batch, rng, m.states)
-    m._ctr_sparse_flag = False
-    p_d, s_d, l_d = m._grad_step(opt, m.params, state0, batch, rng, m.states)
+    p_s, s_s, l_s = m_s._grad_step(m_s.optimizers[0]["optimizer"], m_s.params,
+                                   m_s.opt_states[0], batch, rng, m_s.states)
+    p_d, s_d, l_d = m_d._grad_step(m_d.optimizers[0]["optimizer"], m_d.params,
+                                   m_d.opt_states[0], batch, rng, m_d.states)
 
     np.testing.assert_allclose(float(l_s), float(l_d), rtol=1e-6)
-    flat_s = jax.tree_util.tree_flatten_with_path(p_s)[0]
-    flat_d = dict(jax.tree_util.tree_flatten_with_path(p_d)[0])
-    assert len(flat_s) > 4                 # tables AND mlp/linear leaves
-    for kp, leaf in flat_s:
-        np.testing.assert_allclose(
-            np.asarray(leaf), np.asarray(flat_d[kp]), rtol=2e-4, atol=1e-6,
-            err_msg=jax.tree_util.keystr(kp))
-    for tree_s, tree_d in ((s_s[0].mu, s_d[0].mu), (s_s[0].nu, s_d[0].nu)):
-        fs = jax.tree_util.tree_flatten_with_path(tree_s)[0]
-        fd = dict(jax.tree_util.tree_flatten_with_path(tree_d)[0])
+    paths = _table_paths(m_s)
+    m_s.params = p_s
+    pv = _split_packed(m_s, paths)[0]
+    for got_tree, want_tree, tag in (
+            (pv, p_d, "params"), (s_s[0].mu, s_d[0].mu, "mu"),
+            (s_s[0].nu, s_d[0].nu, "nu")):
+        fs = jax.tree_util.tree_flatten_with_path(got_tree)[0]
+        fd = dict(jax.tree_util.tree_flatten_with_path(want_tree)[0])
+        assert len(fs) > 4                 # tables AND mlp/linear leaves
         for kp, leaf in fs:
+            names = tuple(str(getattr(x, "key", x)) for x in kp)
+            if tag != "params" and names in paths:
+                continue  # placeholder moments of packed leaves (below)
             np.testing.assert_allclose(
                 np.asarray(leaf), np.asarray(fd[kp]), rtol=2e-4, atol=1e-6,
-                err_msg=jax.tree_util.keystr(kp))
+                err_msg=f"{tag}:{jax.tree_util.keystr(kp)}")
+    # packed moment columns vs the dense run's moment leaves
+    for names, meta in paths.items():
+        for col, tree in ((1, s_d[0].mu), (2, s_d[0].nu)):
+            want = tree
+            for k in names:
+                want = want[k]
+            got = m_s.params
+            for k in names:
+                got = got[k]
+            d = meta["embed_dim"]
+            np.testing.assert_allclose(
+                np.asarray(got[:, col * d:(col + 1) * d]), np.asarray(want),
+                rtol=2e-4, atol=1e-6, err_msg=f"packed col {col} {names}")
     assert int(s_s[0].count) == int(s_d[0].count) == 1
 
 
 def test_ctr_sparse_training_end_to_end(ctr_small_splits):
-    """3 epochs sparse vs dense: same trajectory within fp tolerance, same
-    eval metrics."""
+    """3 epochs sparse vs dense from IDENTICAL initial params (aligned after
+    build — fit(epochs=0) initializes everything, then training_epoch drives
+    the same jitted epochs without re-initializing): same trajectory within
+    fp tolerance, same eval metrics."""
     trn, val, tst = ctr_small_splits
-    m_s, _ = _build_deepfm(ctr_small_splits, "auto", epochs=3)
-    m_d, _ = _build_deepfm(ctr_small_splits, "false", epochs=3)
+    m_s, _ = _build_deepfm(ctr_small_splits, "auto")
+    m_d, _ = _build_deepfm(ctr_small_splits, "false")
     assert m_s._ctr_sparse_flag and not m_d._ctr_sparse_flag
-    fs = jax.tree_util.tree_flatten_with_path(m_s.params)[0]
+    _align_sparse_to_dense(m_s, m_d)
+    for m in (m_s, m_d):
+        for i in range(3):
+            m.training_epoch(i)
+    paths = _table_paths(m_s)
+    pv = _split_packed(m_s, paths)[0]
+    fs = jax.tree_util.tree_flatten_with_path(pv)[0]
     fd = dict(jax.tree_util.tree_flatten_with_path(m_d.params)[0])
     for kp, leaf in fs:
         np.testing.assert_allclose(np.asarray(leaf), np.asarray(fd[kp]),
