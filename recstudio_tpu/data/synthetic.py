@@ -115,10 +115,15 @@ CTR_SHAPES = {
     # traffic becomes the step time (docs/performance.md; the row-sparse
     # learner exists for exactly this shape)
     "criteo-10m-bigvocab-shape": 10_000_000,
+    # past the measured sparse/dense crossover (~13M rows at B=8192, D=10 —
+    # docs/performance.md "Row-sparse optimizer"): dense Adam's full-table
+    # sweeps dominate and learner: sparse_adam wins
+    "criteo-10m-hugevocab-shape": 10_000_000,
 }
 # per-shape multiplier applied to the >1024 vocabularies (small enums keep
 # their natural sizes); uniques are bounded by the Zipf draw's coverage
-CTR_VOCAB_MULT = {"criteo-10m-bigvocab-shape": 16}
+CTR_VOCAB_MULT = {"criteo-10m-bigvocab-shape": 16,
+                  "criteo-10m-hugevocab-shape": 256}
 
 
 def ctr_shape_vocabs(shape_name: str) -> Tuple[int, ...]:

@@ -295,26 +295,53 @@ class BaseRanker(Recommender):
         B = batch[rating0].shape[0]
         probes = {k: jnp.zeros((B, len(m["fields"]), m["embed_dim"]),
                                jnp.float32) for k, m in meta.items()}
+        table_paths = {m["param_path"]: (k, m) for k, m in meta.items()}
 
-        def loss_fn(ps, pr):
+        # Differentiate ONLY the dense leaves: the packed [N, 3D] tables are
+        # reinserted via closure (their reads are stop_gradient'd in probe
+        # mode), because jax.grad INSTANTIATES the returned zero cotangent —
+        # a concrete [N, 3D] zeros buffer per table, 2.9 GB at 22M rows,
+        # which OOMed the hugevocab leg. The real per-lookup grads ride the
+        # zero probes.
+        def replace(tree, path, leaf):
+            new = dict(tree)
+            if len(path) == 1:
+                new[path[0]] = leaf
+            else:
+                new[path[0]] = replace(tree[path[0]], path[1:], leaf)
+            return new
+
+        tables = {}
+        params_nd = params
+        for names in table_paths:
+            node = params
+            for k in names:
+                node = node[k]
+            tables[names] = node
+            params_nd = replace(params_nd, names,
+                                jnp.zeros((1, 1), jnp.float32))
+
+        def loss_fn(ps_nd, pr):
+            ps = ps_nd
+            for names, leaf in tables.items():
+                ps = replace(ps, names, leaf)
             b2 = dict(batch)
             b2["__emb_probes__"] = pr
             return self._loss_and_aux(ps, b2, rng, states)
 
         (loss, _), (grads, g_probes) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(params, probes)
+            loss_fn, argnums=(0, 1), has_aux=True)(params_nd, probes)
         grads = zero_pad_rows_in_grads(grads)
 
         (inner,) = opt_state
         count = inner.count + 1
-        table_paths = {m["param_path"]: (k, m) for k, m in meta.items()}
 
         def upd(path, p, g, mu, nu):
             names = tuple(str(getattr(x, "key", x)) for x in path)
             if names in table_paths:
                 # p is the packed [N, 3D] buffer (_prepare_sparse_state);
-                # mu/nu are 0-size placeholders, g the never-consumed zero
-                # cotangent — the real per-lookup grads ride g_probes
+                # mu/nu and g are tiny placeholders — the real per-lookup
+                # grads ride g_probes
                 key, m = table_paths[names]
                 ids2 = jnp.stack(
                     [batch[f] + off
@@ -323,8 +350,7 @@ class BaseRanker(Recommender):
                     m["sizes"], p, ids2, g_probes[key], count, lr)
                 return packed2, mu, nu
             # dense leaves (MLP/interaction weights): same lazy-adam math
-            # the dense path's optax lazy_adam applies — the table's zero
-            # autodiff cotangent is never consumed, so XLA drops it
+            # the dense path's optax lazy_adam applies
             step, mu2, nu2 = lazy_update_leaf(g, mu, nu, count, lr)
             return p + step, mu2, nu2
 

@@ -236,6 +236,9 @@ def _attention(qkv, mask, padrow, D, H, Lg, p, training, rng=None,
     M = qkv.shape[0]
     Dh = D // H
     scale = 1.0 / (Dh ** 0.5)
+    # hoist the combined additive mask per group (shared by all H heads —
+    # saves one [Lg, Lg] add pass per head beyond the first)
+    gmask = [mask + padrow[8 * g:8 * g + 1, :] for g in range(M // Lg)]
     heads, resid = [], []
     for h in range(H):
         q = qkv[:, h * Dh:(h + 1) * Dh]
@@ -245,10 +248,12 @@ def _attention(qkv, mask, padrow, D, H, Lg, p, training, rng=None,
         for g in range(M // Lg):
             sl = slice(g * Lg, (g + 1) * Lg)
             s = _dot(q[sl], k[sl].T, mm) * scale
-            s = jnp.maximum(s + mask + padrow[8 * g:8 * g + 1, :], NEG)
+            s = jnp.maximum(s + gmask[g], NEG)
             m = s.max(-1, keepdims=True)
             e = jnp.exp(s - m)
-            P = e / e.sum(-1, keepdims=True)
+            # reciprocal [Lg, 1] + broadcast multiply instead of a full
+            # [Lg, Lg] divide pass (VPU divides are multi-op)
+            P = e * (1.0 / e.sum(-1, keepdims=True))
             keep = rng.keep(P.shape, p) if rng is not None else None
             Pd = P * keep if keep is not None else P
             rows.append(_dot(Pd, v[sl], mm))

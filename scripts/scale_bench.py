@@ -87,7 +87,7 @@ def run_scale(shape_name: str, chunked: bool = False, epochs_timed: int = 5):
 
 def run_scale_seq(shape_name: str, max_seq_len: int = 200,
                   embed_dim: int = 128, epochs_timed: int = 3,
-                  precision: str = "bf16_3x"):
+                  precision: str = "default"):
     """Transformer at scale: SASRec at production-ish shapes (L=200,
     d=128) on a synthetic catalog — exercises the fused transformer layer
     at multi-group attention tiles and the sequence ETL beyond ml-100k."""
