@@ -306,7 +306,7 @@ def _run_section(section: str) -> dict:
 # BENCH_CACHE_DIR persists across runs on this machine); the global
 # deadline, not the caps, is the real guard on a cold machine.
 SECTIONS = [("chip_probe", 120), ("bpr", 600), ("seq_scale", 900),
-            ("graph_scale", 600), ("ctr_scale", 600), ("eval", 300),
+            ("graph_scale", 900), ("ctr_scale", 600), ("eval", 300),
             ("ctr_bigvocab_adam", 700), ("ctr_bigvocab_sparse_adam", 700),
             ("scale", 600),
             ("deepfm", 300), ("sasrec", 300), ("lightgcn", 300),
