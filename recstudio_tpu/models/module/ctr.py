@@ -239,9 +239,9 @@ class Embeddings(nn.Module):
                 }
             probes = (batch.get("__emb_probes__")
                       if isinstance(batch, dict) else None)
-            # row-sparse fits repack this leaf to [N, 3D] (params | mu | nu,
-            # models/optim.py pack_table_state) so the optimizer applies ONE
-            # row scatter instead of three; reads gather the wide rows and
+            # row-sparse fits declare this leaf [N, 3D] (params | mu | nu,
+            # _packed_table_init above) so the optimizer applies ONE row
+            # scatter instead of three; reads gather the wide rows and
             # slice the param columns (scatter cost is per-row — the 3x
             # narrower-row traffic is free below 128 lanes)
             is_packed = (table.shape[-1] == 3 * self.embed_dim

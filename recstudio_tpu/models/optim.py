@@ -181,12 +181,6 @@ def _fused_table_candidates(sizes: Sequence[int], ids2: jax.Array,
     return jnp.concatenate(id_parts), jnp.concatenate(agg_parts)
 
 
-def pack_table_state(table: jax.Array) -> jax.Array:
-    """[N, D] params -> [N, 3D] packed (params | mu | nu), moments zeroed."""
-    z = jnp.zeros_like(table)
-    return jnp.concatenate([table, z, z], axis=-1)
-
-
 def unpack_table_params(packed: jax.Array) -> jax.Array:
     """First D columns of a packed [N, 3D] buffer (the parameters)."""
     d = packed.shape[-1] // 3
