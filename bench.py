@@ -99,6 +99,33 @@ def bench_train(name, timed_epochs, train_overrides=None):
     return n_examples * timed_epochs / dt
 
 
+def bench_train_chunked(name, chunks=6, chunk_epochs=50, train_overrides=None):
+    """Like bench_train, but times `chunks` independent windows and PRINTS
+    the cumulative best-rate JSON after each one, so a section killed at its
+    cap still leaves a salvageable line on stdout (main() parses the last
+    JSON line of partial output). Returns the final dict."""
+    if SMOKE:
+        chunks, chunk_epochs = 2, 1
+    model, trn, _ = _build(name, train_overrides)
+    n_examples = len(trn.data_index)
+    for _ in range(1 if SMOKE else 3):  # settle compile + transport
+        loss = model.training_epoch(0)
+    assert np.isfinite(float(loss)), f"{name} warmup loss not finite"
+    best = 0.0
+    out = {}
+    for c in range(chunks):
+        t0 = time.time()
+        losses = [model.training_epoch(0) for _ in range(chunk_epochs)]
+        final = float(losses[-1])  # sole sync point, inside the window
+        dt = time.time() - t0
+        assert np.isfinite(final), f"{name} loss not finite"
+        best = max(best, n_examples * chunk_epochs / dt)
+        out = {name.lower(): round(best, 1),
+               f"{name.lower()} chunks measured": c + 1}
+        print(json.dumps(out), flush=True)
+    return out
+
+
 def bench_eval_qps(name="BPR", repeats=20):
     """Full-catalog top-k eval throughput -> queries/s, plus the Recall@20
     the number was measured at (BASELINE.md: 'queries/s at fixed Recall@20').
@@ -165,10 +192,13 @@ def _run_section(section: str) -> dict:
     if section == "chip_probe_end":
         return {"chip bf16 TFLOP/s (probe after suite)": _chip_probe()}
     if section == "bpr":
-        # 300 timed epochs ≈ 3-4 s window: at ~10 ms/epoch a 50-epoch window
-        # was ~0.5 s — small enough for tunnel dispatch jitter to swing the
-        # headline 2x between rounds
-        return {"bpr": round(bench_train("BPR", 300), 1)}
+        # 6 chunks x 50 timed epochs, printing the cumulative best JSON
+        # after every chunk: the tunnel is bimodal (14.5M ex/s and a full
+        # 600 s stall observed within the same hour, 2026-08-21), and a
+        # killed section still leaves its last line for main() to salvage.
+        # Best-of-chunks because a stall INSIDE one window is transport,
+        # not machine speed; chunk windows are ~0.5-4 s each.
+        return bench_train_chunked("BPR", chunks=6, chunk_epochs=50)
     if section == "sasrec":
         return {"SASRec examples/s": round(bench_train("SASRec", 10), 1)}
     if section == "lightgcn":
@@ -399,12 +429,28 @@ def main():
                       f"(rc={proc.returncode}) "
                       f"stderr tail: {proc.stderr[-400:]!r}",
                       file=sys.stderr, flush=True)
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
             print(f"[bench] section '{section}' exceeded {budget:.0f}s — "
                   "killed", file=sys.stderr, flush=True)
+            # salvage the last JSON line the section managed to print
+            # (sections emit incremental results for exactly this case)
+            partial = e.stdout or ""
+            if isinstance(partial, bytes):
+                partial = partial.decode("utf-8", "replace")
+            line = next((ln for ln in partial.splitlines()[::-1]
+                         if ln.startswith("{")), None)
+            if line:
+                try:
+                    results.update(json.loads(line))
+                    print(f"[bench] section '{section}' salvaged partial "
+                          f"result from killed run", file=sys.stderr,
+                          flush=True)
+                except ValueError:
+                    pass
         if (section == "chip_probe"
-                and results.get("chip bf16 TFLOP/s (4096^3 probe)", 1e9)
+                and results.get("chip bf16 TFLOP/s (4096^3 probe)", 0.0)
                 < PROBE_HEALTHY_TFLOPS):
+            # missing probe (killed at its cap) counts as degraded too
             # degraded chip window: schedule one headline re-measure after
             # the one-of-each evidence sections, before the bigvocab pair
             idx = next((i for i, (s, _) in enumerate(queue)
